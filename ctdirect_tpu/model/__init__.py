@@ -1,0 +1,5 @@
+from ctdirect_tpu.model.ocp import OCP, PreOCP, TimeSpec
+from ctdirect_tpu.model.init import InitialGuess
+from ctdirect_tpu.model.solution import Solution
+
+__all__ = ["OCP", "PreOCP", "TimeSpec", "InitialGuess", "Solution"]
