@@ -56,6 +56,7 @@ class IPMOptions:
     test/test_common.jl:66–94; defaults chosen to match Ipopt's)."""
 
     tol: float = 1e-8
+    acceptable_tol: float = 1e-6  # Ipopt Solved_To_Acceptable_Level fallback
     mu_init: float = 0.1
     mu_min: float = 1e-12
     kappa_mu: float = 0.2  # linear barrier decrease factor
@@ -71,9 +72,22 @@ class IPMOptions:
     delta_w_max: float = 1e20
     delta_c: float = 1e-8  # constraint-block regularization
     max_reg_trials: int = 20
-    nu_init: float = 1.0  # l1 merit penalty init
-    curvature_frac: float = 1e-9  # required dz'(W+Sigma)dz >= frac*|dz|^2
+    curvature_frac: float = 1e-11  # inertia-free test threshold (Chiang-Zavala)
     max_soft_fail: int = 8  # consecutive failed line searches before abort
+    grad_scaling: bool = True  # Ipopt gradient-based f/c scaling at z0
+    scaling_max_grad: float = 100.0
+    lsq_lambda_init: bool = True  # least-squares equality multiplier init
+    lambda_init_max: float = 1e3  # reject LS init if larger (Ipopt constr_mult_init_max)
+    # --- filter line search (Waechter-Biegler) parameters, Ipopt defaults ---
+    filter_size: int = 64  # fixed-capacity filter (circular overwrite)
+    gamma_theta: float = 1e-5
+    gamma_phi: float = 1e-8
+    delta_switch: float = 1.0
+    s_theta: float = 1.1
+    s_phi: float = 2.3
+    eta_phi: float = 1e-8  # Armijo constant for f-type steps
+    kappa_soc: float = 0.99  # SOC acceptance: theta_soc <= kappa_soc * theta
+    max_soc: int = 3  # second-order correction rounds
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -127,6 +141,7 @@ STATUS_MESSAGES = {
     1: "Maximum_Iterations_Exceeded",
     2: "Search_Direction_Becomes_Too_Small",
     3: "Diverging_Iterates",
+    4: "Solved_To_Acceptable_Level",
 }
 
 
@@ -171,7 +186,9 @@ class _Carry(NamedTuple):
     yL: jnp.ndarray  # slack lower bound duals
     yU: jnp.ndarray
     mu: jnp.ndarray
-    nu: jnp.ndarray  # merit penalty
+    filt_theta: jnp.ndarray  # (filter_size,) augmented theta entries (inf = empty)
+    filt_phi: jnp.ndarray  # (filter_size,) augmented phi entries
+    filt_n: jnp.ndarray  # next write slot
     delta_w_last: jnp.ndarray
     it: jnp.ndarray
     done: jnp.ndarray
@@ -192,7 +209,8 @@ def ipm_solve(
     options: IPMOptions = IPMOptions(),
     kkt_solve: Optional[Callable] = None,
     hess_and_jac: Optional[Callable] = None,
-) -> IPMResult:
+    return_history: bool = False,
+):
     """Solve the NLP. Fully traceable: jit/vmap over z0 and bound values.
 
     kkt_solve(Hbar, J, Dreg, rz, rp) -> (dz, dlam) solves the condensed system;
@@ -218,6 +236,33 @@ def ipm_solve(
     slm = jnp.asarray(spec.sl_mask)
     sum_ = jnp.asarray(spec.su_mask)
     n_duals = float(nc + nz)  # for Ipopt-style scaling
+
+    # ---- gradient-based scaling (Ipopt nlp_scaling_method=gradient-based):
+    # scale f and each constraint row so its gradient inf-norm at z0 is <= 100.
+    # Internally everything runs scaled; duals/violations are unscaled on exit.
+    f_user, c_user = f, c
+    if opts.grad_scaling:
+        g0 = jax.grad(f_user)(z0)
+        scale_f = jnp.minimum(
+            1.0, opts.scaling_max_grad / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-8)
+        )
+        J0 = jax.jacfwd(c_user)(z0)
+        row_norm = jnp.max(jnp.abs(J0), axis=1)
+        scale_c = jnp.minimum(
+            1.0, opts.scaling_max_grad / jnp.maximum(row_norm, 1e-8)
+        )
+
+        def f(z):
+            return scale_f * f_user(z)
+
+        def c(z):
+            return scale_c * c_user(z)
+
+        cl = scale_c * cl
+        cu = scale_c * cu
+    else:
+        scale_f = jnp.asarray(1.0, dtype)
+        scale_c = jnp.ones((nc,), dtype)
 
     grad_f = jax.grad(f)
     if hess_and_jac is None:
@@ -313,6 +358,17 @@ def ipm_solve(
         )
         return f(z), barr
 
+    # ---- filter initialization (Ipopt: theta_max = 1e4 max(1, theta_0),
+    # theta_min = 1e-4 max(1, theta_0); the filter starts as {theta >= theta_max}) ----
+    theta_at_init = jnp.sum(jnp.abs(primal_residual(z_init, s_init)))
+    theta_max = 1e4 * jnp.maximum(1.0, theta_at_init)
+    theta_min = 1e-4 * jnp.maximum(1.0, theta_at_init)
+
+    def _fresh_filter():
+        th = jnp.full((opts.filter_size,), jnp.inf, dtype).at[0].set(theta_max)
+        ph = jnp.full((opts.filter_size,), -jnp.inf, dtype)
+        return th, ph
+
     # ---- one IPM iteration ----
     def step(carry: _Carry) -> _Carry:
         z, s, lam, wL, wU, yL, yU = (
@@ -356,60 +412,69 @@ def ipm_solve(
         Hbar_base = W + jnp.diag(sigma_z)
         h_scale = 1.0 + jnp.max(jnp.abs(Hbar_base))
 
-        def reg_solve(trial):
-            delta_w, _ = trial
-            Dreg = Drow + opts.delta_c
+        def reg_solve(delta_w, delta_c):
+            Dreg = Drow + delta_c
             dz, dlam = kkt_solve(
                 Hbar_base + delta_w * jnp.eye(nz, dtype=dtype), J, Dreg, rbar_z, rbar_p
             )
-            curv = dz @ (Hbar_base @ dz) + delta_w * (dz @ dz)
+            ds = jnp.where(ineq, (dlam - rbar_s) / sigma_s, 0.0)
+            # inertia-free acceptance (Chiang-Zavala): curvature along the full
+            # primal step (z AND slacks) must be sufficiently positive
+            curv = dz @ (Hbar_base @ dz) + delta_w * (dz @ dz) + ds @ (sigma_s * ds)
+            nrm2 = dz @ dz + ds @ ds
             ok = (
                 jnp.all(jnp.isfinite(dz))
                 & jnp.all(jnp.isfinite(dlam))
-                & (curv >= opts.curvature_frac * (dz @ dz))
+                & (curv >= opts.curvature_frac * nrm2)
             )
-            return dz, dlam, ok
+            return dz, dlam, ds, ok
+
+        # retry ladder (Ipopt inertia-correction analogue): on failure, bump
+        # delta_w geometrically and engage the dual regularization
+        # delta_c = delta_c_bar * mu^{1/4}, which bounds multiplier blow-up on
+        # locally rank-deficient constraint Jacobians
+        delta_c_reg = jnp.maximum(opts.delta_c, 1e-8 * mu**0.25)
 
         def reg_cond(state):
-            (delta_w, trials), _, _, ok = state
+            (delta_w, trials), _, _, _, ok = state
             return (~ok) & (trials < opts.max_reg_trials)
 
         def reg_body(state):
-            (delta_w, trials), _, _, _ = state
+            (delta_w, trials), _, _, _, _ = state
             new_dw = jnp.where(
                 trials == 0,
                 jnp.maximum(opts.delta_w_init * h_scale, carry.delta_w_last / 3.0),
                 delta_w * 10.0,
             )
-            dz, dlam, ok = reg_solve((new_dw, trials))
-            return (new_dw, trials + 1), dz, dlam, ok
+            dz, dlam, ds, ok = reg_solve(new_dw, delta_c_reg)
+            return (new_dw, trials + 1), dz, dlam, ds, ok
 
-        dz0_, dlam0_, ok0 = reg_solve((jnp.asarray(0.0, dtype), -1))
-        (delta_w_used, _), dz, dlam, solve_ok = jax.lax.while_loop(
-            reg_cond, reg_body, ((jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32)), dz0_, dlam0_, ok0)
+        dz0_, dlam0_, ds0_, ok0 = reg_solve(jnp.asarray(0.0, dtype), opts.delta_c)
+        (delta_w_used, _), dz, dlam, ds, solve_ok = jax.lax.while_loop(
+            reg_cond,
+            reg_body,
+            (
+                (jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32)),
+                dz0_,
+                dlam0_,
+                ds0_,
+                ok0,
+            ),
         )
         delta_w_last = jnp.where(delta_w_used > 0, delta_w_used, carry.delta_w_last)
 
-        ds = jnp.where(ineq, (dlam - rbar_s) / sigma_s, 0.0)
-        dwL = jnp.where(zlm, -(wL / gL) * dz - wL + mu / gL, 0.0)
-        dwU = jnp.where(zum, (wU / gU) * dz - wU + mu / gU, 0.0)
-        dyL = jnp.where(slm, -(yL / sgL) * ds - yL + mu / sgL, 0.0)
-        dyU = jnp.where(sum_, (yU / sgU) * ds - yU + mu / sgU, 0.0)
-
-        # ---- fraction-to-boundary ----
+        # ---- fraction-to-boundary (primal; dual step sizes computed after the
+        # line search selects the final direction) ----
         tau = jnp.maximum(opts.tau_min, 1.0 - mu)
         a_z = _max_step_to_boundary(z, dz, zl, zu, zlm, zum, tau)
         a_s = _max_step_to_boundary(s, ds, sl, su, slm, sum_, tau)
         alpha_max = jnp.minimum(a_z, a_s)
-        a_wL = _dual_step_to_boundary(wL, dwL, zlm, tau)
-        a_wU = _dual_step_to_boundary(wU, dwU, zum, tau)
-        a_yL = _dual_step_to_boundary(yL, dyL, slm, tau)
-        a_yU = _dual_step_to_boundary(yU, dyU, sum_, tau)
-        alpha_dual = jnp.minimum(jnp.minimum(a_wL, a_wU), jnp.minimum(a_yL, a_yU))
 
-        # ---- l1 merit line search ----
+        # ---- filter line search (Waechter-Biegler / Ipopt) ----
         theta0 = jnp.sum(jnp.abs(r_p))
-        # merit slope: grad phi . d  - nu * theta
+        f0, b0 = barrier_phi(z, s)
+        phi0 = f0 - mu * b0
+        # barrier-function directional derivative
         dphi = (
             gf @ dz
             - jnp.sum(jnp.where(zlm, mu / gL * dz, 0.0))
@@ -417,42 +482,131 @@ def ipm_solve(
             - jnp.sum(jnp.where(slm, mu / sgL * ds, 0.0))
             + jnp.sum(jnp.where(sum_, mu / sgU * ds, 0.0))
         )
-        nu_req = jnp.max(jnp.abs(lam + dlam), initial=0.0) * 1.1 + 1e-4
-        nu = jnp.maximum(carry.nu, nu_req)
-        # keep the direction a descent direction for the merit
-        nu = jnp.where(
-            theta0 > 1e-14,
-            jnp.maximum(nu, (dphi + 1e-12) / (0.5 * theta0 + 1e-30) + 1e-4),
-            nu,
+        filt_th, filt_ph = carry.filt_theta, carry.filt_phi
+
+        def eval_trial(zt, st):
+            ft, bt = barrier_phi(zt, st)
+            phi_t = ft - mu * bt
+            theta_t = jnp.sum(jnp.abs(primal_residual(zt, st)))
+            return theta_t, phi_t
+
+        def trial_accept(alpha, theta_t, phi_t):
+            """(accepted, is_ftype) per the filter method's case analysis."""
+            not_blocked = ~jnp.any((theta_t >= filt_th) & (phi_t >= filt_ph))
+            switching = (dphi < 0) & (
+                alpha * (-dphi) ** opts.s_phi
+                > opts.delta_switch * theta0**opts.s_theta
+            )
+            armijo = phi_t <= phi0 + opts.eta_phi * alpha * dphi
+            suff = (theta_t <= (1.0 - opts.gamma_theta) * theta0) | (
+                phi_t <= phi0 - opts.gamma_phi * theta0
+            )
+            ok_f = switching & armijo
+            ok = jnp.where(
+                theta0 <= theta_min,
+                jnp.where(switching, ok_f, suff),
+                ok_f | suff,
+            )
+            ok = ok & not_blocked & jnp.isfinite(phi_t) & jnp.isfinite(theta_t)
+            return ok, ok_f
+
+        # first trial at alpha_max (+ second-order correction on rejection)
+        th_1, ph_1 = eval_trial(z + alpha_max * dz, s + alpha_max * ds)
+        ok_1, ftype_1 = trial_accept(alpha_max, th_1, ph_1)
+
+        # SOC: if the full step was rejected and did not reduce infeasibility,
+        # re-solve with rhs  alpha*r_p + r_p(trial)  (same KKT matrix) — corrects
+        # constraint curvature so active-set steps are not cut to pieces
+        rp_trial = primal_residual(z + alpha_max * dz, s + alpha_max * ds)
+        delta_c_used = jnp.where(delta_w_used > 0, delta_c_reg, opts.delta_c)
+        rbar_p_soc = (alpha_max * r_p + rp_trial) + jnp.where(
+            ineq, rbar_s / sigma_s, 0.0
         )
-        slope = dphi - nu * theta0
+        dz_c, dlam_c = kkt_solve(
+            Hbar_base + delta_w_used * jnp.eye(nz, dtype=dtype),
+            J,
+            Drow + delta_c_used,
+            rbar_z,
+            rbar_p_soc,
+        )
+        ds_c = jnp.where(ineq, (dlam_c - rbar_s) / sigma_s, 0.0)
+        a_soc = jnp.minimum(
+            _max_step_to_boundary(z, dz_c, zl, zu, zlm, zum, tau),
+            _max_step_to_boundary(s, ds_c, sl, su, slm, sum_, tau),
+        )
+        th_soc, ph_soc = eval_trial(z + a_soc * dz_c, s + a_soc * ds_c)
+        ok_soc_raw, ftype_soc = trial_accept(a_soc, th_soc, ph_soc)
+        soc_valid = (
+            (~ok_1)
+            & (th_1 >= theta0)
+            & ok_soc_raw
+            & jnp.all(jnp.isfinite(dz_c))
+            & (th_soc <= opts.kappa_soc * theta0)
+        )
 
-        f0, b0 = barrier_phi(z, s)
-        psi0 = f0 - mu * b0 + nu * theta0
-
+        # backtracking from alpha_max/2 (only reached if both trials failed)
         def ls_cond(state):
-            alpha, ls_it, accepted = state
+            alpha, ls_it, accepted, _ = state
             return (~accepted) & (ls_it < opts.max_ls)
 
         def ls_body(state):
-            alpha, ls_it, _ = state
-            zt = z + alpha * dz
-            st = s + alpha * ds
-            ft, bt = barrier_phi(zt, st)
-            thetat = jnp.sum(jnp.abs(primal_residual(zt, st)))
-            psit = ft - mu * bt + nu * thetat
-            ok = jnp.isfinite(psit) & (psit <= psi0 + opts.eta_ls * alpha * slope)
-            return jnp.where(ok, alpha, alpha * 0.5), ls_it + 1, ok
+            alpha, ls_it, _, _ = state
+            th_t, ph_t = eval_trial(z + alpha * dz, s + alpha * ds)
+            ok, ftype = trial_accept(alpha, th_t, ph_t)
+            return jnp.where(ok, alpha, alpha * 0.5), ls_it + 1, ok, ftype
 
-        alpha, _, ls_ok = jax.lax.while_loop(
-            ls_cond, ls_body, (alpha_max, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        alpha_bt, _, ok_bt, ftype_bt = jax.lax.while_loop(
+            ls_cond,
+            ls_body,
+            (
+                alpha_max * 0.5,
+                jnp.asarray(0, jnp.int32),
+                ok_1 | soc_valid,  # skip backtracking when already accepted
+                jnp.asarray(False),
+            ),
         )
-        alpha = jnp.where(ls_ok, alpha, alpha_max * (0.5 ** opts.max_ls))
-        soft_fails = jnp.where(ls_ok & solve_ok, 0, carry.soft_fails + 1)
 
-        z_n = z + alpha * dz
-        s_n = s + alpha * ds
-        lam_n = lam + alpha * dlam
+        use_soc = soc_valid & (~ok_1)
+        accepted = ok_1 | soc_valid | ok_bt
+        alpha = jnp.where(
+            ok_1, alpha_max, jnp.where(use_soc, a_soc, alpha_bt)
+        )
+        alpha = jnp.where(accepted, alpha, alpha_max * (0.5 ** opts.max_ls))
+        is_ftype = jnp.where(
+            ok_1, ftype_1, jnp.where(use_soc, ftype_soc, ftype_bt)
+        )
+        dz_f = jnp.where(use_soc, dz_c, dz)
+        ds_f = jnp.where(use_soc, ds_c, ds)
+        dlam_f = jnp.where(use_soc, dlam_c, dlam)
+        soft_fails = jnp.where(accepted & solve_ok, 0, carry.soft_fails + 1)
+
+        # augment the filter on h-type (non-Armijo) accepted steps
+        add_entry = accepted & (~is_ftype)
+        slot = carry.filt_n % opts.filter_size
+        filt_th_n = jnp.where(
+            add_entry,
+            filt_th.at[slot].set((1.0 - opts.gamma_theta) * theta0),
+            filt_th,
+        )
+        filt_ph_n = jnp.where(
+            add_entry, filt_ph.at[slot].set(phi0 - opts.gamma_phi * theta0), filt_ph
+        )
+        filt_n_n = jnp.where(add_entry, carry.filt_n + 1, carry.filt_n)
+
+        # bound-multiplier steps along the selected direction, full dual FTB step
+        dwL = jnp.where(zlm, -(wL / gL) * dz_f - wL + mu / gL, 0.0)
+        dwU = jnp.where(zum, (wU / gU) * dz_f - wU + mu / gU, 0.0)
+        dyL = jnp.where(slm, -(yL / sgL) * ds_f - yL + mu / sgL, 0.0)
+        dyU = jnp.where(sum_, (yU / sgU) * ds_f - yU + mu / sgU, 0.0)
+        a_wL = _dual_step_to_boundary(wL, dwL, zlm, tau)
+        a_wU = _dual_step_to_boundary(wU, dwU, zum, tau)
+        a_yL = _dual_step_to_boundary(yL, dyL, slm, tau)
+        a_yU = _dual_step_to_boundary(yU, dyU, sum_, tau)
+        alpha_dual = jnp.minimum(jnp.minimum(a_wL, a_wU), jnp.minimum(a_yL, a_yU))
+
+        z_n = z + alpha * dz_f
+        s_n = s + alpha * ds_f
+        lam_n = lam + alpha * dlam_f
         wL_n = jnp.clip(wL + alpha_dual * dwL, 0.0)
         wU_n = jnp.clip(wU + alpha_dual * dwU, 0.0)
         yL_n = jnp.clip(yL + alpha_dual * dyL, 0.0)
@@ -487,6 +641,13 @@ def ipm_solve(
         )
         mu_next = jnp.maximum(mu_next, opts.mu_min)
 
+        # the filter belongs to one barrier subproblem: reset it when mu drops
+        mu_changed = mu_next < mu
+        fresh_th, fresh_ph = _fresh_filter()
+        filt_th_n = jnp.where(mu_changed, fresh_th, filt_th_n)
+        filt_ph_n = jnp.where(mu_changed, fresh_ph, filt_ph_n)
+        filt_n_n = jnp.where(mu_changed, jnp.asarray(1, jnp.int32), filt_n_n)
+
         converged = err_0 <= opts.tol
         diverged = ~jnp.isfinite(err_0) | (jnp.max(jnp.abs(z_n)) > 1e20)
         stalled = soft_fails >= opts.max_soft_fail
@@ -504,7 +665,9 @@ def ipm_solve(
             yL=yL_n,
             yU=yU_n,
             mu=mu_next,
-            nu=nu,
+            filt_theta=filt_th_n,
+            filt_phi=filt_ph_n,
+            filt_n=filt_n_n,
             delta_w_last=delta_w_last,
             it=carry.it + 1,
             done=done,
@@ -515,6 +678,19 @@ def ipm_solve(
 
     # ---- driver loop ----
     lam0 = jnp.zeros((nc,), dtype)
+    if opts.lsq_lambda_init and nc > 0:
+        # least-squares multiplier init (Ipopt's resto-free init): solve
+        # (J J^T + eps I) lam = -J (grad f - wL + wU); reject if too large
+        Jz = jax.jacfwd(c)(z_init)
+        g_init = grad_f(z_init) - wL0 + wU0
+        M = Jz @ Jz.T + 1e-8 * jnp.eye(nc, dtype=dtype)
+        lam_ls = jnp.linalg.solve(M, -(Jz @ g_init))
+        lam0 = jnp.where(
+            (jnp.max(jnp.abs(lam_ls)) <= opts.lambda_init_max)
+            & jnp.all(jnp.isfinite(lam_ls)),
+            lam_ls,
+            lam0,
+        )
     err_init, viol_init = kkt_error(z_init, s_init, lam0, wL0, wU0, yL0, yU0, 0.0)
 
     init_carry = _Carry(
@@ -526,7 +702,9 @@ def ipm_solve(
         yL=yL0,
         yU=yU0,
         mu=mu0,
-        nu=jnp.asarray(opts.nu_init, dtype),
+        filt_theta=_fresh_filter()[0],
+        filt_phi=_fresh_filter()[1],
+        filt_n=jnp.asarray(1, jnp.int32),
         delta_w_last=jnp.asarray(0.0, dtype),
         it=jnp.asarray(0, jnp.int32),
         done=err_init <= opts.tol,
@@ -535,8 +713,22 @@ def ipm_solve(
         soft_fails=jnp.asarray(0, jnp.int32),
     )
 
+    history = None
     if opts.max_iter == 0:
         final = init_carry
+    elif return_history:
+        # debug mode: fixed-length scan with masked steps, emitting per-iteration
+        # (mu, kkt_err, alpha-proxy via |dz| impossible here; log scalars we have)
+        def scan_body(carry, _):
+            active = (~carry.done) & (carry.it < opts.max_iter)
+            new = step(carry)
+            out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, b, a), carry, new
+            )
+            rec = (out.it, out.mu, out.kkt_err, out.filt_n, out.delta_w_last, f(out.z))
+            return out, rec
+
+        final, history = jax.lax.scan(scan_body, init_carry, None, length=opts.max_iter)
     else:
         final = jax.lax.while_loop(
             lambda cr: (~cr.done) & (cr.it < opts.max_iter),
@@ -544,27 +736,39 @@ def ipm_solve(
             init_carry,
         )
 
-    _, viol_final = kkt_error(
-        final.z, final.s, final.lam, final.wL, final.wU, final.yL, final.yU, 0.0
+    viol_final = jnp.max(
+        jnp.abs(primal_residual(final.z, final.s) / scale_c), initial=0.0
     )
     status = jnp.where(
         final.done, final.status, jnp.asarray(1, jnp.int32)
+    )
+    # acceptable-level fallback: a stall or iteration cap with the error already
+    # below acceptable_tol counts as success (Ipopt Solved_To_Acceptable_Level)
+    status = jnp.where(
+        (status != 0) & (status != 3) & (final.kkt_err <= opts.acceptable_tol),
+        jnp.asarray(4, jnp.int32),
+        status,
     )
     if opts.max_iter == 0:
         # transcription round-trip mode (reference max_iter=0 trick,
         # test/ci/test_initial_guess.jl:6–54): report the init as "solved"
         status = jnp.asarray(0, jnp.int32)
 
-    return IPMResult(
+    # unscale duals back to the user's problem: the scaled problem is
+    # min s_f f s.t. s_c c, so lam_user = lam * s_c / s_f, bound duals / s_f
+    result = IPMResult(
         z=final.z,
-        lam=final.lam,
-        zL=final.wL,
-        zU=final.wU,
+        lam=final.lam * scale_c / scale_f,
+        zL=final.wL / scale_f,
+        zU=final.wU / scale_f,
         s=final.s,
-        objective=f(final.z),
+        objective=f_user(final.z),
         iterations=final.it,
         kkt_error=final.kkt_err,
         constraints_violation=viol_final,
         status=status,
-        successful=status == 0,
+        successful=(status == 0) | (status == 4),
     )
+    if return_history:
+        return result, history
+    return result
