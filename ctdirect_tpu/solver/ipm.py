@@ -44,6 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ctdirect_tpu.solver.kkt import DenseKKT
+
 
 # ----------------------------------------------------------------------------
 # Specs
@@ -207,17 +209,14 @@ def ipm_solve(
     cl,
     cu,
     options: IPMOptions = IPMOptions(),
-    kkt_solve: Optional[Callable] = None,
-    hess_and_jac: Optional[Callable] = None,
+    kkt=None,
     return_history: bool = False,
 ):
     """Solve the NLP. Fully traceable: jit/vmap over z0 and bound values.
 
-    kkt_solve(Hbar, J, Dreg, rz, rp) -> (dz, dlam) solves the condensed system;
-    default is a dense symmetric-indefinite solve. hess_and_jac(z, lam) ->
-    (W, J) supplies the Lagrangian Hessian and constraint Jacobian; default is
-    dense jax.hessian / jax.jacfwd. Both hooks exist so the structured
-    block-tridiagonal path can reuse this exact iteration loop.
+    `kkt` is a KKT operator (see solver/kkt.py) supplying derivative assembly
+    and the condensed-system solve; defaults to DenseKKT. Pass a StructuredKKT
+    to solve the block-tridiagonal + arrowhead collocation system in O(N).
     """
     opts = options
     nz, nc = spec.nz, spec.nc
@@ -241,13 +240,14 @@ def ipm_solve(
     # scale f and each constraint row so its gradient inf-norm at z0 is <= 100.
     # Internally everything runs scaled; duals/violations are unscaled on exit.
     f_user, c_user = f, c
+    if kkt is None:
+        kkt = DenseKKT(f_user, c_user, nz, nc)
     if opts.grad_scaling:
         g0 = jax.grad(f_user)(z0)
         scale_f = jnp.minimum(
             1.0, opts.scaling_max_grad / jnp.maximum(jnp.max(jnp.abs(g0)), 1e-8)
         )
-        J0 = jax.jacfwd(c_user)(z0)
-        row_norm = jnp.max(jnp.abs(J0), axis=1)
+        row_norm = kkt.row_norms(z0)
         scale_c = jnp.minimum(
             1.0, opts.scaling_max_grad / jnp.maximum(row_norm, 1e-8)
         )
@@ -265,19 +265,11 @@ def ipm_solve(
         scale_c = jnp.ones((nc,), dtype)
 
     grad_f = jax.grad(f)
-    if hess_and_jac is None:
 
-        def hess_and_jac(z, lam):
-            W = jax.hessian(lambda zz: f(zz) + jnp.dot(lam, c(zz)))(z)
-            J = jax.jacfwd(c)(z)
-            return W, J
-
-    if kkt_solve is None:
-
-        def kkt_solve(Hbar, J, Dreg, rz, rp):
-            KKT = jnp.block([[Hbar, J.T], [J, -jnp.diag(Dreg)]])
-            sol = jnp.linalg.solve(KKT, -jnp.concatenate([rz, rp]))
-            return sol[:nz], sol[nz:]
+    def lag_hvp(z, lam, v):
+        """(scaled) Lagrangian Hessian-vector product, matrix-free."""
+        g = lambda zz: jax.grad(lambda z3: f(z3) + jnp.dot(lam, c(z3)))(zz)
+        return jax.jvp(g, (z,), (v,))[1]
 
     # slack bounds: cl/cu on inequality rows; harmless [0,0] placeholders on eq rows
     sl = jnp.where(ineq, cl, 0.0)
@@ -393,7 +385,7 @@ def ipm_solve(
         # the DOCP never emits such rows, but guard anyway
         sigma_s = jnp.where(ineq, jnp.maximum(sigma_s, 1e-12), 1.0)
 
-        W, J = hess_and_jac(z, lam)
+        kdata = kkt.prepare(z, lam, scale_f, scale_c)
 
         gf = grad_f(z)
         rbar_z = (
@@ -409,18 +401,20 @@ def ipm_solve(
         Drow = jnp.where(ineq, 1.0 / sigma_s, 0.0)
 
         # ---- regularized KKT solve with inertia-free curvature retry ----
-        Hbar_base = W + jnp.diag(sigma_z)
-        h_scale = 1.0 + jnp.max(jnp.abs(Hbar_base))
+        h_scale = kkt.diag_scale(kdata) + jnp.max(sigma_z)
 
         def reg_solve(delta_w, delta_c):
-            Dreg = Drow + delta_c
-            dz, dlam = kkt_solve(
-                Hbar_base + delta_w * jnp.eye(nz, dtype=dtype), J, Dreg, rbar_z, rbar_p
+            dz, dlam = kkt.solve(
+                kdata, sigma_z, Drow, delta_w, delta_c, rbar_z, rbar_p
             )
             ds = jnp.where(ineq, (dlam - rbar_s) / sigma_s, 0.0)
             # inertia-free acceptance (Chiang-Zavala): curvature along the full
             # primal step (z AND slacks) must be sufficiently positive
-            curv = dz @ (Hbar_base @ dz) + delta_w * (dz @ dz) + ds @ (sigma_s * ds)
+            curv = (
+                dz @ lag_hvp(z, lam, dz)
+                + (sigma_z + delta_w) @ (dz * dz)
+                + ds @ (sigma_s * ds)
+            )
             nrm2 = dz @ dz + ds @ ds
             ok = (
                 jnp.all(jnp.isfinite(dz))
@@ -522,12 +516,8 @@ def ipm_solve(
         rbar_p_soc = (alpha_max * r_p + rp_trial) + jnp.where(
             ineq, rbar_s / sigma_s, 0.0
         )
-        dz_c, dlam_c = kkt_solve(
-            Hbar_base + delta_w_used * jnp.eye(nz, dtype=dtype),
-            J,
-            Drow + delta_c_used,
-            rbar_z,
-            rbar_p_soc,
+        dz_c, dlam_c = kkt.solve(
+            kdata, sigma_z, Drow, delta_w_used, delta_c_used, rbar_z, rbar_p_soc
         )
         ds_c = jnp.where(ineq, (dlam_c - rbar_s) / sigma_s, 0.0)
         a_soc = jnp.minimum(
@@ -678,13 +668,13 @@ def ipm_solve(
 
     # ---- driver loop ----
     lam0 = jnp.zeros((nc,), dtype)
+    lam_ls = None
     if opts.lsq_lambda_init and nc > 0:
         # least-squares multiplier init (Ipopt's resto-free init): solve
         # (J J^T + eps I) lam = -J (grad f - wL + wU); reject if too large
-        Jz = jax.jacfwd(c)(z_init)
         g_init = grad_f(z_init) - wL0 + wU0
-        M = Jz @ Jz.T + 1e-8 * jnp.eye(nc, dtype=dtype)
-        lam_ls = jnp.linalg.solve(M, -(Jz @ g_init))
+        lam_ls = kkt.lsq_lambda(z_init, g_init, scale_f, scale_c)
+    if lam_ls is not None:
         lam0 = jnp.where(
             (jnp.max(jnp.abs(lam_ls)) <= opts.lambda_init_max)
             & jnp.all(jnp.isfinite(lam_ls)),
