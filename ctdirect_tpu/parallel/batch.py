@@ -50,6 +50,10 @@ class BatchSolver:
         self.batch_axis = batch_axis
         spec = make_spec(docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
 
+        if kkt is None and options.kkt_mode == "structured":
+            from ctdirect_tpu.solver.structured_kkt import StructuredKKT
+
+            kkt = StructuredKKT(docp)
         kw = {} if kkt is None else {"kkt": kkt}
 
         def solve_one(z0, cl, cu):

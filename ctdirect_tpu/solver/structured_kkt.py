@@ -1,0 +1,446 @@
+"""Structured KKT operator: block-tridiagonal + arrowhead, solved in O(N).
+
+This is the TPU replacement for the reference stack's general sparse direct
+solvers (MUMPS/umfpack/cuDSS — SURVEY.md §2.2): the condensed IPM system of a
+collocation DOCP is, after interleaving primal step-blocks with their
+constraint multipliers, a symmetric block-TRIDIAGONAL matrix with a dense
+ARROWHEAD border:
+
+    [ A_1  B_1              E_1 ] [x_1]   [r_1]
+    [ B_1' A_2  B_2         E_2 ] [x_2]   [r_2]
+    [          ...          ... ] [...] = [...]
+    [            B_{N-1}' A_N E_N] [x_N]   [r_N]
+    [ E_1' E_2' ...  E_N'     F ] [xb ]   [rb ]
+
+    x_i = [dw_i; dlam_i]   (step variables + step constraint multipliers)
+    xb  = [d_tail; dv; dlam_finalpath; dlam_boundary]
+
+Blocks come from vmapped per-step Hessians/Jacobians of the scheme's LOCAL
+residual/cost forms (schemes.local_residual/local_cost) — there is no sparsity
+detection, no coloring, and no hand-maintained pattern (the reference spends
+~40% of each scheme file on those, e.g. trapeze.jl:149–303). The border carries
+v (free time couples every step — SURVEY.md §7.3.2), the tail state, and the
+final-path/boundary multiplier rows.
+
+The solve is a forward block elimination with border Schur complement and a
+backward substitution (two lax.scans). Block inverses use pivoted Gauss-Jordan
+(kkt.py) — pure arithmetic, so the whole solve runs in f64 on TPU and vmaps
+across problem instances. A log-depth cyclic-reduction variant for time-axis
+sharding builds on the same block data (parallel/cyclic_reduction.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctdirect_tpu.solver.kkt import gj_inverse, gj_solve
+from ctdirect_tpu.transcription.docp import DOCP
+
+
+class _Dims(NamedTuple):
+    N: int
+    bw: int  # step primal width
+    cw: int  # step constraint rows
+    iw: int  # interface width (tail width): n (+m for trapeze)
+    q: int
+    n: int
+    npath: int
+    nb: int
+    bs: int  # super-block = bw + cw
+    wb: int  # border width = iw + q + npath + nb
+
+
+class StructuredKKT:
+    """KKT operator exploiting the DOCP's step structure (see solver/kkt.py
+    for the operator protocol)."""
+
+    def __init__(self, docp: DOCP):
+        self.docp = docp
+        d = _Dims(
+            N=docp.N,
+            bw=docp.bw,
+            cw=docp.cw,
+            iw=docp.tail_w,
+            q=docp.q,
+            n=docp.n,
+            npath=docp.n_path,
+            nb=docp.n_boundary,
+            bs=docp.bw + docp.cw,
+            wb=docp.tail_w + docp.q + docp.n_path + docp.n_boundary,
+        )
+        self.d = d
+        self.snorm = np.asarray(docp._snorm)  # (N+1,) normalized grid
+        scheme = docp.scheme
+        fns = docp.fns
+        ocp = docp.ocp
+        n, m, s, cs = docp.n, docp.m, docp.s, docp.cs
+
+        def times(si, sip1, v):
+            ts = ocp.time
+            t0 = ts.t0 if not ts.free_t0 else v[ts.t0_index]
+            tf = ts.tf if not ts.free_tf else v[ts.tf_index]
+            return t0 + si * (tf - t0), t0 + sip1 * (tf - t0)
+
+        def split_w(w):
+            x = w[:n]
+            U = w[n : n + cs * m].reshape(cs, m)
+            K = w[n + cs * m :].reshape(s, n) if s > 0 else None
+            return x, U, K
+
+        def split_y(y):
+            xn = y[:n]
+            un = y[n:] if scheme.u_at_nodes else None
+            return xn, un
+
+        # ---- per-step local constraint rows [defect | stages | path(t_i)] ----
+        def cons_step(si, sip1, w, y, v):
+            ti, tip1 = times(si, sip1, v)
+            x, U, K = split_w(w)
+            xn, un = split_y(y)
+            res = scheme.local_residual(fns, ti, tip1, x, U, K, xn, un, v)
+            if docp._path is not None:
+                u_node = scheme.local_node_control(U)
+                res = jnp.concatenate([res, docp._path(ti, x, u_node, v)])
+            return res
+
+        def cost_step(si, sip1, w, y, v):
+            if fns.lagrange is None:
+                return jnp.asarray(0.0, w.dtype)
+            ti, tip1 = times(si, sip1, v)
+            x, U, K = split_w(w)
+            xn, un = split_y(y)
+            return scheme.local_cost(fns, ti, tip1, x, U, K, xn, un, v)
+
+        # ---- border rows: final-node path, boundary; border cost: Mayer ----
+        def final_node_control(wN, tail):
+            if scheme.u_at_nodes:  # trapeze: control stored in the tail
+                return tail[n:]
+            _, U, _ = split_w(wN)
+            return scheme.local_node_control(U)  # node N+1 reads step N's control
+
+        def cons_fp(wN, tail, v):
+            ts = ocp.time
+            tf = ts.tf if not ts.free_tf else v[ts.tf_index]
+            return docp._path(tf, tail[:n], final_node_control(wN, tail), v)
+
+        def cons_bc(x0, tail, v):
+            return docp._boundary(x0, tail[:n], v)
+
+        def cost_border(x0, wN, tail, v):
+            if docp._mayer is None:
+                return jnp.asarray(0.0, tail.dtype)
+            g = docp._mayer(x0, tail[:n], v)
+            return -g if ocp.maximize else g
+
+        self._cons_step = cons_step
+        self._cost_step = cost_step
+        self._cons_fp = cons_fp if docp._path is not None else None
+        self._cons_bc = cons_bc if docp._boundary is not None else None
+        self._cost_border = cost_border
+        # sign of the minimized objective (docp.nlp_objective = ±objective);
+        # local cost forms are in user sense, so flip for max problems
+        self._obj_sign = -1.0 if ocp.maximize else 1.0
+
+    # ------------------------------------------------------------------
+    # flat-vector split/merge
+    # ------------------------------------------------------------------
+    def _split_z(self, z):
+        d = self.d
+        Wm = z[: d.N * d.bw].reshape(d.N, d.bw)
+        tail = z[d.N * d.bw : d.N * d.bw + d.iw]
+        v = z[d.N * d.bw + d.iw :]
+        # interface rows: y_i = first iw entries of the NEXT block; y_{N-1} = tail
+        Y = jnp.concatenate([Wm[1:, : d.iw], tail[None, :]], axis=0)  # (N, iw)
+        return Wm, Y, tail, v
+
+    def _split_lam(self, lam):
+        d = self.d
+        lam_steps = lam[: d.N * d.cw].reshape(d.N, d.cw)
+        lam_fp = lam[d.N * d.cw : d.N * d.cw + d.npath]
+        lam_bc = lam[d.N * d.cw + d.npath :]
+        return lam_steps, lam_fp, lam_bc
+
+    # ------------------------------------------------------------------
+    # operator protocol
+    # ------------------------------------------------------------------
+    def row_norms(self, z):
+        """Unscaled |J| row-inf-norms from the block jacobians."""
+        d = self.d
+        Wm, Y, tail, v = self._split_z(z)
+        si = jnp.asarray(self.snorm[:-1])
+        sip1 = jnp.asarray(self.snorm[1:])
+
+        def one(si_, sip1_, w, y):
+            Jl = jax.jacfwd(
+                lambda arg: self._cons_step(
+                    si_, sip1_, arg[: d.bw], arg[d.bw : d.bw + d.iw], arg[d.bw + d.iw :]
+                )
+            )(jnp.concatenate([w, y, v]))
+            return jnp.max(jnp.abs(Jl), axis=1)
+
+        rows = jax.vmap(one)(si, sip1, Wm, Y).reshape(-1)
+        parts = [rows]
+        if self._cons_fp is not None:
+            Jfp = jax.jacfwd(
+                lambda arg: self._cons_fp(
+                    arg[: d.bw], arg[d.bw : d.bw + d.iw], arg[d.bw + d.iw :]
+                )
+            )(jnp.concatenate([Wm[-1], tail, v]))
+            parts.append(jnp.max(jnp.abs(Jfp), axis=1))
+        if self._cons_bc is not None:
+            Jbc = jax.jacfwd(
+                lambda arg: self._cons_bc(
+                    arg[: d.n], arg[d.n : d.n + d.iw], arg[d.n + d.iw :]
+                )
+            )(jnp.concatenate([Wm[0][: d.n], tail, v]))
+            parts.append(jnp.max(jnp.abs(Jbc), axis=1))
+        return jnp.concatenate(parts)
+
+    def prepare(self, z, lam, sf, sc):
+        """Per-step scaled Lagrangian Hessians + constraint Jacobians."""
+        d = self.d
+        Wm, Y, tail, v = self._split_z(z)
+        lam_steps, lam_fp, lam_bc = self._split_lam(lam)
+        sc_steps, sc_fp, sc_bc = self._split_lam(sc)
+        si = jnp.asarray(self.snorm[:-1])
+        sip1 = jnp.asarray(self.snorm[1:])
+        sgn = self._obj_sign
+
+        D = d.bw + d.iw + d.q
+
+        def step_data(si_, sip1_, w, y, lam_i, sc_i):
+            arg = jnp.concatenate([w, y, v])
+
+            def cons(a):
+                return self._cons_step(si_, sip1_, a[: d.bw], a[d.bw : d.bw + d.iw], a[d.bw + d.iw :])
+
+            def lag(a):
+                cost = self._cost_step(
+                    si_, sip1_, a[: d.bw], a[d.bw : d.bw + d.iw], a[d.bw + d.iw :]
+                )
+                return sgn * sf * cost + jnp.dot(sc_i * lam_i, cons(a))
+
+            H = jax.hessian(lag)(arg)  # (D, D)
+            J = sc_i[:, None] * jax.jacfwd(cons)(arg)  # (cw, D)
+            return H, J
+
+        Hloc, Jloc = jax.vmap(step_data)(si, sip1, Wm, Y, lam_steps, sc_steps)
+
+        # border: hessian of sf*mayer + lam_fp' fp + lam_bc' bc over (x0,wN,tail,v)
+        Db = d.n + d.bw + d.iw + d.q
+        argb = jnp.concatenate([Wm[0][: d.n], Wm[-1], tail, v])
+
+        def border_lag(a):
+            x0 = a[: d.n]
+            wN = a[d.n : d.n + d.bw]
+            tl = a[d.n + d.bw : d.n + d.bw + d.iw]
+            vv = a[d.n + d.bw + d.iw :]
+            val = sf * self._cost_border(x0, wN, tl, vv)
+            if self._cons_fp is not None:
+                val = val + jnp.dot(sc_fp * lam_fp, self._cons_fp(wN, tl, vv))
+            if self._cons_bc is not None:
+                val = val + jnp.dot(sc_bc * lam_bc, self._cons_bc(x0, tl, vv))
+            return val
+
+        Hb = jax.hessian(border_lag)(argb)  # (Db, Db)
+
+        if self._cons_fp is not None:
+            Jfp = sc_fp[:, None] * jax.jacfwd(
+                lambda a: self._cons_fp(a[: d.bw], a[d.bw : d.bw + d.iw], a[d.bw + d.iw :])
+            )(jnp.concatenate([Wm[-1], tail, v]))  # (npath, bw+iw+q)
+        else:
+            Jfp = jnp.zeros((0, d.bw + d.iw + d.q), z.dtype)
+        if self._cons_bc is not None:
+            Jbc = sc_bc[:, None] * jax.jacfwd(
+                lambda a: self._cons_bc(a[: d.n], a[d.n : d.n + d.iw], a[d.n + d.iw :])
+            )(jnp.concatenate([Wm[0][: d.n], tail, v]))  # (nb, n+iw+q)
+        else:
+            Jbc = jnp.zeros((0, d.n + d.iw + d.q), z.dtype)
+
+        return dict(Hloc=Hloc, Jloc=Jloc, Hb=Hb, Jfp=Jfp, Jbc=Jbc)
+
+    def diag_scale(self, data):
+        return 1.0 + jnp.max(jnp.abs(jnp.diagonal(data["Hloc"], axis1=-2, axis2=-1)))
+
+    def lsq_lambda(self, z, g, sf, sc):
+        return None  # skip LS multiplier init on the structured path
+
+    # ------------------------------------------------------------------
+    # assembly + solve
+    # ------------------------------------------------------------------
+    def solve(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
+        d = self.d
+        dtype = rz.dtype
+        Hloc, Jloc = data["Hloc"], data["Jloc"]
+        Hb, Jfp, Jbc = data["Hb"], data["Jfp"], data["Jbc"]
+
+        # index ranges inside the per-step D-dim: [w | y | v]
+        w0, w1 = 0, d.bw
+        y0, y1 = d.bw, d.bw + d.iw
+        v0, v1 = d.bw + d.iw, d.bw + d.iw + d.q
+        # border block col layout: [tail | v | lam_fp | lam_bc]
+        t0c, t1c = 0, d.iw
+        vb0, vb1 = d.iw, d.iw + d.q
+        fp0, fp1 = vb1, vb1 + d.npath
+        bc0, bc1 = fp1, fp1 + d.nb
+        # border-hessian arg layout: [x0 | wN | tail | v]
+        bx0, bx1 = 0, d.n
+        bw0, bw1 = d.n, d.n + d.bw
+        bt0, bt1 = d.n + d.bw, d.n + d.bw + d.iw
+        bv0, bv1 = d.n + d.bw + d.iw, d.n + d.bw + d.iw + d.q
+
+        sig_steps = sigma_z[: d.N * d.bw].reshape(d.N, d.bw)
+        sig_tail = sigma_z[d.N * d.bw : d.N * d.bw + d.iw]
+        sig_v = sigma_z[d.N * d.bw + d.iw :]
+        D_steps, D_fp, D_bc = self._split_lam(Drow)
+        rz_steps = rz[: d.N * d.bw].reshape(d.N, d.bw)
+        rz_tail = rz[d.N * d.bw : d.N * d.bw + d.iw]
+        rz_v = rz[d.N * d.bw + d.iw :]
+        rp_steps, rp_fp, rp_bc = self._split_lam(rp)
+
+        N, bw, cw, iw, bs, wb = d.N, d.bw, d.cw, d.iw, d.bs, d.wb
+
+        # ---- A blocks ----
+        Hww = Hloc[:, w0:w1, w0:w1]
+        # interface-interface of the PREVIOUS step lands in the first iw of w_i
+        Hyy_prev = jnp.zeros_like(Hww)
+        Hyy_prev = Hyy_prev.at[1:, :iw, :iw].add(Hloc[:-1, y0:y1, y0:y1])
+        # border (x0,x0) into A_0; (wN,wN) into A_{N-1}
+        Hww_border = jnp.zeros_like(Hww)
+        Hww_border = Hww_border.at[0, : d.n, : d.n].add(Hb[bx0:bx1, bx0:bx1])
+        Hww_border = Hww_border.at[N - 1].add(Hb[bw0:bw1, bw0:bw1])
+        Aw = Hww + Hyy_prev + Hww_border
+        Aw = Aw + jax.vmap(jnp.diag)(sig_steps + delta_w)
+        Jw = Jloc[:, :, w0:w1]  # (N, cw, bw)
+        Dreg = jax.vmap(jnp.diag)(D_steps + delta_c)  # (N, cw, cw)
+        A = jnp.concatenate(
+            [
+                jnp.concatenate([Aw, jnp.swapaxes(Jw, 1, 2)], axis=2),
+                jnp.concatenate([Jw, -Dreg], axis=2),
+            ],
+            axis=1,
+        )  # (N, bs, bs)
+
+        # ---- B blocks (couple super-block i -> i+1), i = 0..N-2 ----
+        Bw = jnp.zeros((N - 1, bw, bw), dtype) if N > 1 else jnp.zeros((0, bw, bw), dtype)
+        if N > 1:
+            Bw = Bw.at[:, :, :iw].set(Hloc[:-1, w0:w1, y0:y1])
+        BJ = jnp.zeros((N - 1, cw, bw), dtype)
+        if N > 1:
+            BJ = BJ.at[:, :, :iw].set(Jloc[:-1, :, y0:y1])
+        B = jnp.zeros((max(N - 1, 0), bs, bs), dtype)
+        if N > 1:
+            B = B.at[:, :bw, :bw].set(Bw)
+            B = B.at[:, bw:, :bw].set(BJ)
+
+        # ---- E blocks (step -> border) ----
+        E = jnp.zeros((N, bs, wb), dtype)
+        # v coupling: every step
+        E = E.at[:, :bw, vb0:vb1].add(Hloc[:, w0:w1, v0:v1])
+        E = E.at[1:, :iw, vb0:vb1].add(Hloc[:-1, y0:y1, v0:v1])
+        E = E.at[:, bw:, vb0:vb1].add(Jloc[:, :, v0:v1])
+        # tail coupling: last step's (w,y) and (lam,y)
+        E = E.at[N - 1, :bw, t0c:t1c].add(Hloc[N - 1, w0:w1, y0:y1])
+        E = E.at[N - 1, bw:, t0c:t1c].add(Jloc[N - 1, :, y0:y1])
+        # border-hessian couplings
+        E = E.at[0, : d.n, t0c:t1c].add(Hb[bx0:bx1, bt0:bt1])
+        E = E.at[0, : d.n, vb0:vb1].add(Hb[bx0:bx1, bv0:bv1])
+        E = E.at[N - 1, :bw, t0c:t1c].add(Hb[bw0:bw1, bt0:bt1])
+        E = E.at[N - 1, :bw, vb0:vb1].add(Hb[bw0:bw1, bv0:bv1])
+        # final-path multiplier column: fp depends on wN
+        E = E.at[N - 1, :bw, fp0:fp1].add(Jfp[:, :bw].T)
+        # boundary multiplier column: bc depends on x0
+        E = E.at[0, : d.n, bc0:bc1].add(Jbc[:, : d.n].T)
+
+        # ---- F border block ----
+        F = jnp.zeros((wb, wb), dtype)
+        F = F.at[t0c:t1c, t0c:t1c].add(
+            Hloc[N - 1, y0:y1, y0:y1] + Hb[bt0:bt1, bt0:bt1] + jnp.diag(sig_tail + delta_w)
+        )
+        F = F.at[t0c:t1c, vb0:vb1].add(Hloc[N - 1, y0:y1, v0:v1] + Hb[bt0:bt1, bv0:bv1])
+        F = F.at[vb0:vb1, t0c:t1c].add(
+            (Hloc[N - 1, y0:y1, v0:v1] + Hb[bt0:bt1, bv0:bv1]).T
+        )
+        F = F.at[vb0:vb1, vb0:vb1].add(
+            jnp.sum(Hloc[:, v0:v1, v0:v1], axis=0)
+            + Hb[bv0:bv1, bv0:bv1]
+            + jnp.diag(sig_v + delta_w)
+        )
+        # final-path rows/cols (fp args: [wN | tail | v])
+        F = F.at[t0c:t1c, fp0:fp1].add(Jfp[:, bw : bw + iw].T)
+        F = F.at[fp0:fp1, t0c:t1c].add(Jfp[:, bw : bw + iw])
+        F = F.at[vb0:vb1, fp0:fp1].add(Jfp[:, bw + iw :].T)
+        F = F.at[fp0:fp1, vb0:vb1].add(Jfp[:, bw + iw :])
+        F = F.at[fp0:fp1, fp0:fp1].add(-jnp.diag(D_fp + delta_c))
+        # boundary rows/cols (bc args: [x0 | tail | v])
+        F = F.at[t0c:t1c, bc0:bc1].add(Jbc[:, d.n : d.n + iw].T)
+        F = F.at[bc0:bc1, t0c:t1c].add(Jbc[:, d.n : d.n + iw])
+        F = F.at[vb0:vb1, bc0:bc1].add(Jbc[:, d.n + iw :].T)
+        F = F.at[bc0:bc1, vb0:vb1].add(Jbc[:, d.n + iw :])
+        F = F.at[bc0:bc1, bc0:bc1].add(-jnp.diag(D_bc + delta_c))
+
+        # ---- rhs ----
+        r = -jnp.concatenate([rz_steps, rp_steps], axis=1)  # (N, bs)
+        rb = -jnp.concatenate([rz_tail, rz_v, rp_fp, rp_bc])  # (wb,)
+
+        # ---- forward elimination ----
+        Ainv0 = gj_inverse(A[0])
+        Etil0, rtil0 = E[0], r[0]
+
+        def fwd(carry, inp):
+            Ainv_p, Etil_p, rtil_p = carry
+            A_i, B_p, E_i, r_i = inp
+            C = B_p.T @ Ainv_p  # (bs, bs)
+            Atil = A_i - C @ B_p
+            Etil = E_i - C @ Etil_p
+            rtil = r_i - C @ rtil_p
+            Ainv = gj_inverse(Atil)
+            return (Ainv, Etil, rtil), (Ainv, Etil, rtil)
+
+        if N > 1:
+            (_, _, _), (Ainvs_rest, Etils_rest, rtils_rest) = jax.lax.scan(
+                fwd, (Ainv0, Etil0, rtil0), (A[1:], B, E[1:], r[1:])
+            )
+            Ainvs = jnp.concatenate([Ainv0[None], Ainvs_rest], axis=0)
+            Etils = jnp.concatenate([Etil0[None], Etils_rest], axis=0)
+            rtils = jnp.concatenate([rtil0[None], rtils_rest], axis=0)
+        else:
+            Ainvs, Etils, rtils = Ainv0[None], Etil0[None], rtil0[None]
+
+        # ---- border Schur complement ----
+        AinvE = jnp.einsum("nij,njk->nik", Ainvs, Etils)  # (N, bs, wb)
+        Ainvr = jnp.einsum("nij,nj->ni", Ainvs, rtils)  # (N, bs)
+        Ftil = F - jnp.einsum("nji,njk->ik", Etils, AinvE)
+        rbtil = rb - jnp.einsum("nji,nj->i", Etils, Ainvr)
+        xb = gj_solve(Ftil, rbtil[:, None])[:, 0]
+
+        # ---- back substitution ----
+        xN = Ainvr[N - 1] - AinvE[N - 1] @ xb
+
+        def bwd(x_next, inp):
+            Ainv, rtil, Etil, B_i = inp
+            x_i = Ainv @ (rtil - B_i @ x_next - Etil @ xb)
+            return x_i, x_i
+
+        if N > 1:
+            _, xs_rev = jax.lax.scan(
+                bwd,
+                xN,
+                (Ainvs[:-1][::-1], rtils[:-1][::-1], Etils[:-1][::-1], B[::-1]),
+            )
+            X = jnp.concatenate([xs_rev[::-1], xN[None]], axis=0)  # (N, bs)
+        else:
+            X = xN[None]
+
+        # ---- unscatter ----
+        dz = jnp.concatenate(
+            [X[:, :bw].reshape(N * bw), xb[t0c:t1c], xb[vb0:vb1]]
+        )
+        dlam = jnp.concatenate(
+            [X[:, bw:].reshape(N * cw), xb[fp0:fp1], xb[bc0:bc1]]
+        )
+        return dz, dlam

@@ -80,6 +80,23 @@ class Scheme:
     def control_times(self, t, h):
         raise NotImplementedError
 
+    # ---- per-step local forms (single step; used by the structured KKT to
+    # assemble block Hessians/Jacobians — must agree exactly with the
+    # vectorized defects/quadrature above; tested in test_structured.py) ----
+
+    def local_residual(self, fns, ti, tip1, x, U, K, xn, un, v):
+        """Defect (+ stage) residuals of ONE step: (n + s*n,).
+        x:(n,), U:(cs,m), K:(s,n)|None, xn:(n,), un:(m,)|None (trapeze)."""
+        raise NotImplementedError
+
+    def local_cost(self, fns, ti, tip1, x, U, K, xn, un, v):
+        """Lagrange-quadrature contribution of ONE step (scalar)."""
+        raise NotImplementedError
+
+    def local_node_control(self, U):
+        """Control value at the step's LEFT node (for path rows): (m,)."""
+        return U[0]
+
 
 class Trapeze(Scheme):
     """Trapezoidal (Crank-Nicolson) collocation, 2nd order.
@@ -108,6 +125,16 @@ class Trapeze(Scheme):
 
     def control_times(self, t, h):
         return np.asarray(t)[:, None]
+
+    def local_residual(self, fns, ti, tip1, x, U, K, xn, un, v):
+        h = tip1 - ti
+        F0 = fns.dynamics(ti, x, U[0], v)
+        F1 = fns.dynamics(tip1, xn, un, v)
+        return xn - x - 0.5 * h * (F0 + F1)
+
+    def local_cost(self, fns, ti, tip1, x, U, K, xn, un, v):
+        h = tip1 - ti
+        return 0.5 * h * (fns.lagrange(ti, x, U[0], v) + fns.lagrange(tip1, xn, un, v))
 
 
 class Midpoint(Scheme):
@@ -163,6 +190,26 @@ class Midpoint(Scheme):
         j = np.arange(cs)
         return t[:-1, None] + (j[None, :] + 0.5) * (h / cs)[:, None]
 
+    def local_residual(self, fns, ti, tip1, x, U, K, xn, un, v):
+        h = tip1 - ti
+        tm = 0.5 * (ti + tip1)
+        xm = 0.5 * (x + xn)
+        cs = U.shape[0]
+        F = jax.vmap(fns.dynamics, in_axes=(None, None, 0, None))(tm, xm, U, v)
+        return xn - x - (h / cs) * jnp.sum(F, axis=0)
+
+    def local_cost(self, fns, ti, tip1, x, U, K, xn, un, v):
+        h = tip1 - ti
+        xm = 0.5 * (x + xn)
+        cs = U.shape[0]
+        if cs == 1:
+            tm = 0.5 * (ti + tip1)
+            return h * fns.lagrange(tm, xm, U[0], v)
+        hsub = h / cs
+        tij = ti + (jnp.arange(cs) + 0.5) * hsub
+        L = jax.vmap(fns.lagrange, in_axes=(0, None, 0, None))(tij, xm, U, v)
+        return hsub * jnp.sum(L)
+
 
 class Euler(Scheme):
     """Explicit / implicit Euler, 1st order (reference euler.jl).
@@ -195,14 +242,31 @@ class Euler(Scheme):
         return jnp.sum(h * L)
 
     def node_controls(self, U):
+        # NB. deviation from the reference for IMPLICIT euler: the reference
+        # associates the path constraint at node i with U_{i-1} (euler.jl:59–72,
+        # backward association). We use the forward association (node i -> U_i,
+        # clamped at N) for BOTH variants so every constraint block remains
+        # local to (w_i, w_{i+1}) — the property the structured block-
+        # tridiagonal KKT relies on. Both conventions test every control
+        # against the path bounds and are O(h)-equivalent.
         u = U[:, 0, :]
-        if self.explicit:
-            return jnp.concatenate([u, u[-1:]], axis=0)
-        return jnp.concatenate([u[:1], u], axis=0)
+        return jnp.concatenate([u, u[-1:]], axis=0)
 
     def control_times(self, t, h):
         t = np.asarray(t)
         return (t[:-1] if self.explicit else t[1:])[:, None]
+
+    def local_residual(self, fns, ti, tip1, x, U, K, xn, un, v):
+        h = tip1 - ti
+        if self.explicit:
+            return xn - x - h * fns.dynamics(ti, x, U[0], v)
+        return xn - x - h * fns.dynamics(tip1, xn, U[0], v)
+
+    def local_cost(self, fns, ti, tip1, x, U, K, xn, un, v):
+        h = tip1 - ti
+        if self.explicit:
+            return h * fns.lagrange(ti, x, U[0], v)
+        return h * fns.lagrange(tip1, xn, U[0], v)
 
 
 class GenericIRK(Scheme):
@@ -266,6 +330,31 @@ class GenericIRK(Scheme):
         else:
             u = U[:, 0, :]
         return jnp.concatenate([u, u[-1:]], axis=0)
+
+    def local_node_control(self, U):
+        if self.stagewise:
+            return jnp.einsum("j,jm->m", jnp.asarray(self.b), U)
+        return U[0]
+
+    def local_residual(self, fns, ti, tip1, x, U, K, xn, un, v):
+        h = tip1 - ti
+        A, b, cc = jnp.asarray(self.A), jnp.asarray(self.b), jnp.asarray(self.c)
+        tij = ti + cc * h  # (s,)
+        Xij = x[None, :] + h * jnp.einsum("jl,lx->jx", A, K)  # (s, n)
+        Uij = U if self.stagewise else jnp.broadcast_to(U, (self.stages,) + U.shape[1:])
+        F = jax.vmap(fns.dynamics, in_axes=(0, 0, 0, None))(tij, Xij, Uij, v)
+        S = K - F  # (s, n)
+        D = xn - x - h * jnp.einsum("j,jx->x", b, K)
+        return jnp.concatenate([D, S.reshape(-1)])
+
+    def local_cost(self, fns, ti, tip1, x, U, K, xn, un, v):
+        h = tip1 - ti
+        A, b, cc = jnp.asarray(self.A), jnp.asarray(self.b), jnp.asarray(self.c)
+        tij = ti + cc * h
+        Xij = x[None, :] + h * jnp.einsum("jl,lx->jx", A, K)
+        Uij = U if self.stagewise else jnp.broadcast_to(U, (self.stages,) + U.shape[1:])
+        L = jax.vmap(fns.lagrange, in_axes=(0, 0, 0, None))(tij, Xij, Uij, v)
+        return h * jnp.dot(b, L)
 
     def control_times(self, t, h):
         t, h = np.asarray(t), np.asarray(h)
