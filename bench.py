@@ -4,12 +4,10 @@
 Runs on the real TPU chip (axon platform, the environment default). Prints ONE
 JSON line. Extra diagnostics go to stderr.
 
-Current implementation: vmapped IPM with the dense KKT path in float32 (the
-TPU's LU kernel has no f64 support; the structured block-tridiagonal KKT path
-replaces this and restores f64). Batch and iteration budget are chosen for a
-warm-started receding-horizon setting: each instance re-solves a shifted
-problem from the previous optimum with a perturbed initial state arriving
-through the boundary-constraint right-hand sides.
+Vmapped IPM over the structured block-tridiagonal KKT path (f64). Batch and
+iteration budget are chosen for a warm-started receding-horizon setting: each
+instance re-solves a shifted problem from the previous optimum with a
+perturbed initial state arriving through the boundary-constraint rhs.
 """
 
 import json
@@ -17,7 +15,10 @@ import os
 import sys
 import time
 
-os.environ.setdefault("CTDIRECT_TPU_X64", "0")  # f32 until structured KKT lands
+# f64 everywhere: the structured KKT path is lapack-free, so double precision
+# runs on TPU (XLA f64 emulation). Set BENCH_F32=1 to experiment with f32.
+if os.environ.get("BENCH_F32") == "1":
+    os.environ["CTDIRECT_TPU_X64"] = "0"
 
 import numpy as np
 
@@ -40,7 +41,7 @@ def main():
     log(f"device: {dev}")
 
     N = 100
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    B = int(os.environ.get("BENCH_BATCH", "256"))
     MAX_IT = 6
 
     prob = get_problem("double_integrator_minenergy")
@@ -49,7 +50,9 @@ def main():
     # reference solve (cold) to warm-start from
     t0 = time.time()
     base = solve_docp(
-        docp, options=IPMOptions(tol=1e-4, max_iter=60, lsq_lambda_init=False)
+        docp,
+        options=IPMOptions(tol=1e-4, max_iter=60, lsq_lambda_init=False,
+                           kkt_mode=os.environ.get("BENCH_KKT", "structured")),
     )
     log(f"cold reference solve: status {base.status} obj {base.objective:.4f} "
         f"({time.time()-t0:.1f}s incl compile)")
@@ -73,9 +76,12 @@ def main():
         zstar = docp.initial_guess(InitialGuess.from_solution(base))
     z0 = np.tile(zstar, (B, 1))
 
+    kkt_mode = os.environ.get("BENCH_KKT", "structured")
     solver = BatchSolver(
         docp,
-        options=IPMOptions(tol=1e-4, max_iter=MAX_IT, lsq_lambda_init=False),
+        options=IPMOptions(
+            tol=1e-4, max_iter=MAX_IT, lsq_lambda_init=False, kkt_mode=kkt_mode
+        ),
     )
 
     # compile
