@@ -29,7 +29,13 @@ from ctdirect_tpu.model import (  # noqa: E402
     InitialGuess,
     Solution,
 )
-from ctdirect_tpu.transcription import DOCP, transcribe  # noqa: E402
+from ctdirect_tpu.transcription import (  # noqa: E402
+    DOCP,
+    transcribe,
+    Collocation,
+    DirectShooting,
+    discretize,
+)
 from ctdirect_tpu.solver import IPMOptions, solve, solve_docp  # noqa: E402
 
 __all__ = [
@@ -39,6 +45,9 @@ __all__ = [
     "Solution",
     "DOCP",
     "transcribe",
+    "Collocation",
+    "DirectShooting",
+    "discretize",
     "IPMOptions",
     "solve",
     "solve_docp",
