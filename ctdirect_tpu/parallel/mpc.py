@@ -1,0 +1,120 @@
+"""Batched receding-horizon MPC driver (BASELINE.json configs: "cart-pole
+swing-up receding-horizon MPC, 1k warm-started batched instances per chip").
+
+The reference has no MPC driver; its analogue is the warm-start/continuation
+pattern (SURVEY.md §5 checkpoint/resume). Here the whole control loop is a
+compiled program: per tick, every batched instance gets its measured state x0
+injected through the boundary-constraint right-hand sides, the previous
+optimal state is SHIFTED one step (the classic MPC warm start), and a
+fixed-iteration resolve (solver/resolve.py) returns the new plan. One jit
+call advances thousands of controllers."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctdirect_tpu.solver.ipm import IPMOptions, ipm_solve, make_spec
+from ctdirect_tpu.solver.resolve import WarmState, make_resolver, warm_state_from_result
+from ctdirect_tpu.solver.structured_kkt import StructuredKKT
+from ctdirect_tpu.transcription.docp import DOCP
+
+
+def shift_state(docp: DOCP, st: WarmState) -> WarmState:
+    """Shift the plan one step forward (duplicate the last step) — the MPC
+    warm start between consecutive horizons."""
+
+    def shift_z(z):
+        V = docp.unpack(z)
+        X = jnp.concatenate([V.X[1:], V.X[-1:]], axis=0)
+        U = jnp.concatenate([V.U[1:], V.U[-1:]], axis=0)
+        K = None
+        if V.K is not None:
+            K = jnp.concatenate([V.K[1:], V.K[-1:]], axis=0)
+        return docp.pack(X, U, K, V.v)
+
+    def shift_rows(arr, width):
+        rows = arr[: docp.N * width].reshape(docp.N, width)
+        shifted = jnp.concatenate([rows[1:], rows[-1:]], axis=0)
+        return jnp.concatenate([shifted.reshape(-1), arr[docp.N * width :]])
+
+    return WarmState(
+        z=shift_z(st.z),
+        s=shift_rows(st.s, docp.cw),
+        lam=shift_rows(st.lam, docp.cw),
+        wL=shift_rows(st.wL, docp.bw),
+        wU=shift_rows(st.wU, docp.bw),
+        yL=shift_rows(st.yL, docp.cw),
+        yU=shift_rows(st.yU, docp.cw),
+    )
+
+
+class MPCController:
+    """Compiled batched MPC loop over one DOCP structure.
+
+    The initial-state boundary rows to retarget are located via
+    `x0_boundary_rows`: indices (into the boundary-constraint rows) holding the
+    equality x(t0) == x0, in state-component order."""
+
+    def __init__(
+        self,
+        docp: DOCP,
+        x0_boundary_rows: np.ndarray,
+        resolve_iters: int = 3,
+        mu: float = 1e-6,
+        shift: bool = True,
+        kkt_algorithm: str = "scan",
+    ):
+        self.docp = docp
+        self.shift = shift
+        spec = make_spec(docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
+        kkt = StructuredKKT(docp, algorithm=kkt_algorithm)
+        resolve = make_resolver(
+            docp.nlp_objective,
+            docp.constraints,
+            spec,
+            kkt,
+            iters=resolve_iters,
+            mu=mu,
+        )
+        rows = docp.boundary_row_indices()[np.asarray(x0_boundary_rows)]
+        cl0 = jnp.asarray(docp._c_lb)
+        cu0 = jnp.asarray(docp._c_ub)
+        zl = jnp.asarray(docp._z_lb)
+        zu = jnp.asarray(docp._z_ub)
+
+        def tick(st: WarmState, x0):
+            cl = cl0.at[rows].set(x0)
+            cu = cu0.at[rows].set(x0)
+            if shift:
+                st = shift_state(docp, st)
+            res = resolve(st, zl, zu, cl, cu)
+            V = docp.unpack(res.state.z)
+            u0 = docp.scheme.node_controls(V.U)[0]
+            return res.state, u0, res.kkt_error, res.constraints_violation
+
+        self._tick = jax.jit(jax.vmap(tick))
+
+    def __call__(self, states, x0_batch):
+        """Advance all controllers one tick. states: batched WarmState;
+        x0_batch: (B, len(rows)). Returns (new_states, u0, kkt_err, viol)."""
+        return self._tick(states, x0_batch)
+
+    def cold_start(self, options: Optional[IPMOptions] = None, init=None) -> WarmState:
+        """One full-IPM solve to seed the warm state (unbatched)."""
+        from ctdirect_tpu.solver.interface import _get_solver
+
+        docp = self.docp
+        opts = options or IPMOptions(tol=1e-8)
+        solver = _get_solver(docp, opts)
+        z0 = docp.initial_guess(init)
+        res = solver(z0, docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
+        return warm_state_from_result(res)
+
+
+def broadcast_state(st: WarmState, batch: int) -> WarmState:
+    """Tile an unbatched warm state across a batch axis."""
+    return WarmState(*(jnp.broadcast_to(a, (batch,) + a.shape).copy() for a in st))

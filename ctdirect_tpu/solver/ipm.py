@@ -131,6 +131,8 @@ class IPMResult(NamedTuple):
     zL: jnp.ndarray  # lower bound multipliers on z (nz,)
     zU: jnp.ndarray
     s: jnp.ndarray  # slacks (nc; meaningful on inequality rows)
+    yL: jnp.ndarray  # slack lower-bound duals (inequality rows)
+    yU: jnp.ndarray
     objective: jnp.ndarray
     iterations: jnp.ndarray
     kkt_error: jnp.ndarray
@@ -753,6 +755,8 @@ def ipm_solve(
         zL=final.wL / scale_f,
         zU=final.wU / scale_f,
         s=final.s,
+        yL=final.yL,
+        yU=final.yU,
         objective=f_user(final.z),
         iterations=final.it,
         kkt_error=final.kkt_err,

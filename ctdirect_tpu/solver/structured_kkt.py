@@ -58,7 +58,13 @@ class StructuredKKT:
     """KKT operator exploiting the DOCP's step structure (see solver/kkt.py
     for the operator protocol)."""
 
-    def __init__(self, docp: DOCP):
+    def __init__(self, docp: DOCP, algorithm: str = "scan"):
+        """algorithm: "scan" (sequential block elimination, O(N) depth) or
+        "cr" (block cyclic reduction, O(log N) depth — the latency-optimal
+        choice on TPU and the basis of the time-axis-sharded solver)."""
+        if algorithm not in ("scan", "cr"):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        self.algorithm = algorithm
         self.docp = docp
         d = _Dims(
             N=docp.N,
@@ -273,6 +279,15 @@ class StructuredKKT:
     # assembly + solve
     # ------------------------------------------------------------------
     def solve(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
+        blocks = self._assemble(data, sigma_z, Drow, delta_w, delta_c, rz, rp)
+        if self.algorithm == "cr":
+            X, xb = _cr_solve(*blocks)
+        else:
+            X, xb = _scan_solve(*blocks)
+        return self._unscatter(X, xb)
+
+    def _assemble(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
+        """Build (A, B, E, F, r, rb) block-tridiagonal + border data."""
         d = self.d
         dtype = rz.dtype
         Hloc, Jloc = data["Hloc"], data["Jloc"]
@@ -387,60 +402,161 @@ class StructuredKKT:
         r = -jnp.concatenate([rz_steps, rp_steps], axis=1)  # (N, bs)
         rb = -jnp.concatenate([rz_tail, rz_v, rp_fp, rp_bc])  # (wb,)
 
-        # ---- forward elimination ----
-        Ainv0 = gj_inverse(A[0])
-        Etil0, rtil0 = E[0], r[0]
+        return A, B, E, F, r, rb
 
-        def fwd(carry, inp):
-            Ainv_p, Etil_p, rtil_p = carry
-            A_i, B_p, E_i, r_i = inp
-            C = B_p.T @ Ainv_p  # (bs, bs)
-            Atil = A_i - C @ B_p
-            Etil = E_i - C @ Etil_p
-            rtil = r_i - C @ rtil_p
-            Ainv = gj_inverse(Atil)
-            return (Ainv, Etil, rtil), (Ainv, Etil, rtil)
-
-        if N > 1:
-            (_, _, _), (Ainvs_rest, Etils_rest, rtils_rest) = jax.lax.scan(
-                fwd, (Ainv0, Etil0, rtil0), (A[1:], B, E[1:], r[1:])
-            )
-            Ainvs = jnp.concatenate([Ainv0[None], Ainvs_rest], axis=0)
-            Etils = jnp.concatenate([Etil0[None], Etils_rest], axis=0)
-            rtils = jnp.concatenate([rtil0[None], rtils_rest], axis=0)
-        else:
-            Ainvs, Etils, rtils = Ainv0[None], Etil0[None], rtil0[None]
-
-        # ---- border Schur complement ----
-        AinvE = jnp.einsum("nij,njk->nik", Ainvs, Etils)  # (N, bs, wb)
-        Ainvr = jnp.einsum("nij,nj->ni", Ainvs, rtils)  # (N, bs)
-        Ftil = F - jnp.einsum("nji,njk->ik", Etils, AinvE)
-        rbtil = rb - jnp.einsum("nji,nj->i", Etils, Ainvr)
-        xb = gj_solve(Ftil, rbtil[:, None])[:, 0]
-
-        # ---- back substitution ----
-        xN = Ainvr[N - 1] - AinvE[N - 1] @ xb
-
-        def bwd(x_next, inp):
-            Ainv, rtil, Etil, B_i = inp
-            x_i = Ainv @ (rtil - B_i @ x_next - Etil @ xb)
-            return x_i, x_i
-
-        if N > 1:
-            _, xs_rev = jax.lax.scan(
-                bwd,
-                xN,
-                (Ainvs[:-1][::-1], rtils[:-1][::-1], Etils[:-1][::-1], B[::-1]),
-            )
-            X = jnp.concatenate([xs_rev[::-1], xN[None]], axis=0)  # (N, bs)
-        else:
-            X = xN[None]
-
-        # ---- unscatter ----
+    def _unscatter(self, X, xb):
+        d = self.d
+        t0c, t1c = 0, d.iw
+        vb0, vb1 = d.iw, d.iw + d.q
+        fp0, fp1 = vb1, vb1 + d.npath
+        bc0, bc1 = fp1, fp1 + d.nb
         dz = jnp.concatenate(
-            [X[:, :bw].reshape(N * bw), xb[t0c:t1c], xb[vb0:vb1]]
+            [X[:, : d.bw].reshape(d.N * d.bw), xb[t0c:t1c], xb[vb0:vb1]]
         )
         dlam = jnp.concatenate(
-            [X[:, bw:].reshape(N * cw), xb[fp0:fp1], xb[bc0:bc1]]
+            [X[:, d.bw :].reshape(d.N * d.cw), xb[fp0:fp1], xb[bc0:bc1]]
         )
         return dz, dlam
+
+
+# ----------------------------------------------------------------------------
+# solve algorithms (module-level; operate on assembled block data)
+# ----------------------------------------------------------------------------
+
+
+def _scan_solve(A, B, E, F, r, rb):
+    """Sequential forward block elimination + border Schur + back substitution.
+    O(N) depth; minimal flops. A:(N,bs,bs), B:(N-1,bs,bs), E:(N,bs,wb)."""
+    N = A.shape[0]
+    Ainv0 = gj_inverse(A[0])
+    Etil0, rtil0 = E[0], r[0]
+
+    def fwd(carry, inp):
+        Ainv_p, Etil_p, rtil_p = carry
+        A_i, B_p, E_i, r_i = inp
+        C = B_p.T @ Ainv_p
+        Atil = A_i - C @ B_p
+        Etil = E_i - C @ Etil_p
+        rtil = r_i - C @ rtil_p
+        Ainv = gj_inverse(Atil)
+        return (Ainv, Etil, rtil), (Ainv, Etil, rtil)
+
+    if N > 1:
+        _, (Ainvs_rest, Etils_rest, rtils_rest) = jax.lax.scan(
+            fwd, (Ainv0, Etil0, rtil0), (A[1:], B, E[1:], r[1:])
+        )
+        Ainvs = jnp.concatenate([Ainv0[None], Ainvs_rest], axis=0)
+        Etils = jnp.concatenate([Etil0[None], Etils_rest], axis=0)
+        rtils = jnp.concatenate([rtil0[None], rtils_rest], axis=0)
+    else:
+        Ainvs, Etils, rtils = Ainv0[None], Etil0[None], rtil0[None]
+
+    AinvE = jnp.einsum("nij,njk->nik", Ainvs, Etils)
+    Ainvr = jnp.einsum("nij,nj->ni", Ainvs, rtils)
+    Ftil = F - jnp.einsum("nji,njk->ik", Etils, AinvE)
+    rbtil = rb - jnp.einsum("nji,nj->i", Etils, Ainvr)
+    xb = gj_solve(Ftil, rbtil[:, None])[:, 0]
+
+    xN = Ainvr[N - 1] - AinvE[N - 1] @ xb
+
+    def bwd(x_next, inp):
+        Ainv, rtil, Etil, B_i = inp
+        x_i = Ainv @ (rtil - B_i @ x_next - Etil @ xb)
+        return x_i, x_i
+
+    if N > 1:
+        _, xs_rev = jax.lax.scan(
+            bwd,
+            xN,
+            (Ainvs[:-1][::-1], rtils[:-1][::-1], Etils[:-1][::-1], B[::-1]),
+        )
+        X = jnp.concatenate([xs_rev[::-1], xN[None]], axis=0)
+    else:
+        X = xN[None]
+    return X, xb
+
+
+def _cr_solve(A, B, E, F, r, rb):
+    """Block CYCLIC REDUCTION + border Schur: O(log N) sequential depth, all
+    per-level work batched over blocks — the TPU-native depth-optimal solve
+    (SURVEY.md §7: the structural analogue of context parallelism; across a
+    device mesh each level's neighbor access becomes a ppermute).
+
+    Eliminating every odd block i yields, for its even neighbors:
+        A'[i-1] -= B[i-1] A_i^{-1} B[i-1]^T        (left even)
+        A'[i+1] -= B[i]^T  A_i^{-1} B[i]           (right even)
+        B'      = -B[i-1] A_i^{-1} B[i]            (new even-even coupling)
+    plus matching rhs/border updates; recurse on the even half.
+    """
+    N, bs, _ = A.shape
+    wb = E.shape[-1]
+    dtype = A.dtype
+
+    # pad to a power of two with decoupled identity blocks
+    P = 1
+    while P < N:
+        P *= 2
+    pad = P - N
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(bs, dtype=dtype), (pad, bs, bs))
+        A = jnp.concatenate([A, eye], axis=0)
+        E = jnp.concatenate([E, jnp.zeros((pad, bs, wb), dtype)], axis=0)
+        r = jnp.concatenate([r, jnp.zeros((pad, bs), dtype)], axis=0)
+    # Bp[i] couples block i to i+1; zero at the last slot
+    Bp = jnp.concatenate(
+        [B, jnp.zeros((P - B.shape[0], bs, bs), dtype)], axis=0
+    )
+
+    vinv = jax.vmap(gj_inverse)
+    levels = []
+    M = P
+    while M > 1:
+        Ae, Ao = A[0::2], A[1::2]  # evens, odds (M/2 each)
+        Bl = Bp[0::2]  # couples even_j -> odd_j
+        Br = Bp[1::2]  # couples odd_j -> even_{j+1} (last is zero)
+        Eo, ro = E[1::2], r[1::2]
+        Ainv_o = vinv(Ao)
+
+        CL = jnp.einsum("nij,njk->nik", Bl, Ainv_o)  # (M/2, bs, bs)
+        CR = jnp.einsum("nji,njk->nik", Br, Ainv_o)  # B_r^T A_o^{-1}
+
+        A_new = Ae - jnp.einsum("nij,nkj->nik", CL, Bl)
+        A_new = A_new.at[1:].add(-jnp.einsum("nij,njk->nik", CR, Br)[:-1])
+        E_new = E[0::2] - jnp.einsum("nij,njk->nik", CL, Eo)
+        E_new = E_new.at[1:].add(-jnp.einsum("nij,njk->nik", CR, Eo)[:-1])
+        r_new = r[0::2] - jnp.einsum("nij,nj->ni", CL, ro)
+        r_new = r_new.at[1:].add(-jnp.einsum("nij,nj->ni", CR, ro)[:-1])
+        B_new = -jnp.einsum("nij,njk->nik", CL, Br)  # even_j -> even_{j+1}
+        B_new = B_new.at[-1].set(jnp.zeros((bs, bs), dtype))
+
+        F = F - jnp.einsum("nji,njk,nkl->il", Eo, Ainv_o, Eo)
+        rb = rb - jnp.einsum("nji,njk,nk->i", Eo, Ainv_o, ro)
+
+        levels.append((Ainv_o, Bl, Br, Eo, ro))
+        A, Bp, E, r = A_new, B_new, E_new, r_new
+        M //= 2
+
+    # root: [[A0, E0], [E0^T, F]] [x0; xb] = [r0; rb]
+    top = jnp.concatenate([A[0], E[0]], axis=1)
+    bot = jnp.concatenate([E[0].T, F], axis=1)
+    root = jnp.concatenate([top, bot], axis=0)
+    sol = gj_solve(root, jnp.concatenate([r[0], rb])[:, None])[:, 0]
+    X = sol[:bs][None]  # (1, bs)
+    xb = sol[bs:]
+
+    # back-substitution up the levels
+    for Ainv_o, Bl, Br, Eo, ro in reversed(levels):
+        m = Ainv_o.shape[0]  # number of odds at this level; evens = m
+        x_e = X  # (m, bs)
+        x_e_next = jnp.concatenate([x_e[1:], jnp.zeros((1, bs), dtype)], axis=0)
+        rhs = (
+            ro
+            - jnp.einsum("nji,nj->ni", Bl, x_e)
+            - jnp.einsum("nij,nj->ni", Br, x_e_next)
+            - jnp.einsum("nij,j->ni", Eo, xb)
+        )
+        x_o = jnp.einsum("nij,nj->ni", Ainv_o, rhs)
+        # interleave evens and odds
+        X = jnp.stack([x_e, x_o], axis=1).reshape(2 * m, bs)
+
+    return X[:N], xb
