@@ -28,6 +28,11 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the (minutes-long)
+    # remote TPU compile of the IPM/resolver programs
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from ctdirect_tpu import transcribe
