@@ -1,0 +1,160 @@
+"""Benchmark sweep harness (≙ reference test/benchmark.jl:202–287): solve a
+problem set across grid sizes, print a success/iterations/time matrix, and
+optionally dump JSON for regression tracking.
+
+Usage:
+    python benchmarks/sweep.py                       # default easy set, TPU/axon
+    python benchmarks/sweep.py --cpu                 # force CPU
+    python benchmarks/sweep.py --grids 250,1000 --problems beam,goddard
+    python benchmarks/sweep.py --micro               # objective/constraints/KKT
+                                                     # kernel micro-bench
+Reference baselines to beat (SURVEY.md §6): 10-problem easy suite, trapeze,
+Ipopt/MUMPS CPU: 0.6 / 1.4 / 3.8 / 18.0 / 74.8 s at N=250/500/1000/2500/5000.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+# matches the composition of the reference's "easy" NLP-comparison suite
+EASY_SET = [
+    "beam",
+    "double_integrator_minenergy",
+    "double_integrator_mintf",
+    "fuller",
+    "goddard",
+    "jackson",
+    "robbins",
+    "simple_integrator",
+    "vanderpol",
+    "parametric",
+]
+
+
+def run_sweep(problems, grids, scheme, tol, max_iter, kkt):
+    import jax
+
+    from ctdirect_tpu import transcribe
+    from ctdirect_tpu.problems import get_problem
+    from ctdirect_tpu.solver.interface import solve_docp
+    from ctdirect_tpu.solver.ipm import IPMOptions
+
+    opts = IPMOptions(tol=tol, max_iter=max_iter, kkt_mode=kkt)
+    rows = []
+    for name in problems:
+        prob = get_problem(name)
+        for N in grids:
+            docp = transcribe(prob.ocp, grid_size=N, scheme=scheme)
+            t0 = time.time()
+            try:
+                sol = solve_docp(docp, init=prob.init, options=opts)
+                wall = time.time() - t0
+                ok = sol.successful and (
+                    prob.obj is None
+                    or abs(sol.objective - prob.obj) <= 1e-2 * abs(prob.obj)
+                )
+                rows.append(
+                    dict(
+                        problem=name,
+                        N=N,
+                        ok=bool(ok),
+                        obj=float(sol.objective),
+                        ref=prob.obj,
+                        iters=sol.iterations,
+                        wall_s=round(wall, 3),
+                    )
+                )
+                status = "ok " if ok else "FAIL"
+            except Exception as e:  # noqa: BLE001 — keep sweeping (benchmark.jl:160–176)
+                wall = time.time() - t0
+                rows.append(
+                    dict(problem=name, N=N, ok=False, error=str(e)[:120], wall_s=wall)
+                )
+                status = "ERR "
+            r = rows[-1]
+            print(
+                f"{status} {name:32s} N={N:<6d} obj={r.get('obj', float('nan')):12.6g} "
+                f"iters={r.get('iters', -1):4d} {r['wall_s']:8.2f}s",
+                flush=True,
+            )
+    return rows
+
+
+def run_micro(problems, N, scheme):
+    """Micro-bench: jitted objective / constraints / one structured-KKT solve
+    (≙ @btime kernels, benchmark.jl:89–139)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctdirect_tpu import transcribe
+    from ctdirect_tpu.problems import get_problem
+
+    rows = []
+    for name in problems:
+        prob = get_problem(name)
+        docp = transcribe(prob.ocp, grid_size=N, scheme=scheme)
+        z0 = jnp.asarray(docp.initial_guess(prob.init))
+        f = jax.jit(docp.objective)
+        c = jax.jit(docp.constraints)
+        g = jax.jit(jax.grad(docp.nlp_objective))
+        for label, fn in [("objective", f), ("constraints", c), ("gradient", g)]:
+            fn(z0).block_until_ready()  # compile
+            reps = 50
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(z0)
+            out.block_until_ready()
+            us = (time.time() - t0) / reps * 1e6
+            rows.append(dict(problem=name, kernel=label, N=N, micros=round(us, 1)))
+            print(f"{name:32s} {label:12s} N={N:<6d} {us:10.1f} us", flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--grids", default="250,500,1000")
+    ap.add_argument("--problems", default=",".join(EASY_SET))
+    ap.add_argument("--scheme", default="trapeze")
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=500)
+    ap.add_argument("--kkt", default="structured", choices=["dense", "structured", "cr"])
+    ap.add_argument("--micro", action="store_true")
+    ap.add_argument("--json", default=None, help="write results to this path")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}", flush=True)
+
+    grids = [int(g) for g in args.grids.split(",")]
+    problems = args.problems.split(",")
+    t0 = time.time()
+    if args.micro:
+        rows = run_micro(problems, grids[0], args.scheme)
+    else:
+        rows = run_sweep(problems, grids, args.scheme, args.tol, args.max_iter, args.kkt)
+        total = sum(r["wall_s"] for r in rows)
+        nok = sum(1 for r in rows if r.get("ok"))
+        print(f"\ntotal {total:.1f}s wall ({time.time()-t0:.1f}s incl compile), "
+              f"{nok}/{len(rows)} ok", flush=True)
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(rows, fh, indent=1)
+        print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

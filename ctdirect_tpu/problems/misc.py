@@ -45,6 +45,23 @@ def estimate_rotation_rate() -> Problem:
 
 
 @register
+def pattern() -> Problem:
+    """Dummy problem exercising every KKT coupling at dims (1,1,1): nonlinear
+    dynamics in (x, u, v), Lagrange cost in all three, and a boundary row
+    x(0) + x(1) + v = 0 (reference test/problems/pattern.jl). Used by the
+    structure-report tests (the analog of sparsity-pattern visualization)."""
+    pre = PreOCP("pattern")
+    pre.state(1).control(1).variable(1)
+    pre.time(t0=0.0, tf=1.0)
+    pre.dynamics(lambda t, x, u, v: jnp.array([x[0] ** 2 + u[0] ** 2 + v[0] ** 2]))
+    pre.objective(lagrange=lambda t, x, u, v: u[0] ** 2 + x[0] ** 2 + v[0] ** 2)
+    pre.boundary_constraint(
+        lambda x0, xf, v: jnp.array([x0[0] + xf[0] + v[0]]), lb=[0.0], ub=[0.0]
+    )
+    return Problem(pre.build(), None, "pattern")
+
+
+@register
 def action() -> Problem:
     """Minimum-action path between the wells of a double-well vector field
     (action.jl); no stored objective."""

@@ -1,0 +1,242 @@
+"""Vehicle-trajectory fixture problems (reference test/problems/{space_shuttle,
+truck_trailer,swimmer}.jl — physics restated in JAX, not translated).
+
+These are the hardest fixtures in the reference suite: long horizons, strongly
+nonlinear aerodynamic/kinematic models, free final time, and (shuttle) a
+maximization objective over a 6-state entry model.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ctdirect_tpu.model.init import InitialGuess
+from ctdirect_tpu.model.ocp import PreOCP
+from ctdirect_tpu.problems import Problem, register
+
+_D2R = np.pi / 180.0
+
+
+@register
+def space_shuttle() -> Problem:
+    """Space-shuttle reentry, maximize crossrange latitude at TAEM.
+
+    Reference test/problems/space_shuttle.jl:8–137 (obj 34.18 deg = 0.5966 rad,
+    tf ~ 2009 s). States [h/1e5, lon, lat, v/1e4, fpa, azi], controls
+    [angle-of-attack, bank], free tf in [1750, 2250]."""
+    w, g0 = 203000.0, 32.174
+    mass = w / g0
+    rho0, hr, Re, mu, S = 0.002378, 23800.0, 20902900.0, 0.14076539e17, 2690.0
+    a0, a1 = -0.20704, 0.029244
+    b0, b1, b2 = 0.07854, -0.61592e-2, 0.621408e-3
+
+    hs, vs = 2.6, 2.56
+    gs, psis = -1.0 * _D2R, 90.0 * _D2R
+    ht, vt, gt = 0.8, 0.25, -5.0 * _D2R
+
+    def dyn(t, x, u, v):
+        sh, lon, lat, sv, gam, psi = x
+        alpha, beta = u[0], u[1]
+        h = sh * 1e5
+        vel = sv * 1e4
+        ad = alpha / _D2R  # aero fits are in degrees
+        cD = b0 + b1 * ad + b2 * ad**2
+        cL = a0 + a1 * ad
+        rho = rho0 * jnp.exp(-h / hr)
+        q = 0.5 * rho * vel**2
+        D, L = cD * S * q, cL * S * q
+        r = Re + h
+        g = mu / r**2
+        sg, cg = jnp.sin(gam), jnp.cos(gam)
+        return jnp.array(
+            [
+                vel * sg / 1e5,
+                (vel / r) * cg * jnp.sin(psi) / jnp.cos(lat),
+                (vel / r) * cg * jnp.cos(psi),
+                (-(D / mass) - g * sg) / 1e4,
+                (L / (mass * vel)) * jnp.cos(beta) + cg * (vel / r - g / vel),
+                L * jnp.sin(beta) / (mass * vel * cg)
+                + (vel / (r * jnp.cos(lat))) * cg * jnp.sin(psi) * jnp.sin(lat),
+            ]
+        )
+
+    pre = PreOCP("space_shuttle")
+    pre.state(6).control(2).variable(1)
+    pre.time(t0=0.0, tf_index=0)
+    pre.dynamics(dyn)
+    pre.objective(mayer=lambda x0_, xf, v: xf[2], maximize=True)
+    pre.state_bounds(
+        lb=[0.0, -np.inf, -89 * _D2R, 0.0, -89 * _D2R, -np.inf],
+        ub=[np.inf, np.inf, 89 * _D2R, np.inf, 89 * _D2R, np.inf],
+    )
+    pre.control_bounds(lb=[-90 * _D2R, -89 * _D2R], ub=[90 * _D2R, 1 * _D2R])
+    pre.variable_bounds(lb=[1750.0], ub=[2250.0])
+    pre.initial_state([hs, 0.0, 0.0, vs, gs, psis])
+    pre.final_state([ht, vt, gt], rg=[0, 3, 4])
+
+    tfi = 500.0
+    init = InitialGuess(
+        state=lambda t: [
+            hs + t / tfi * (ht - hs),
+            0.0,
+            0.0,
+            vs + t / tfi * (vt - vs),
+            gs + t / tfi * (gt - gs),
+            psis,
+        ],
+        control=[0.0, 0.0],
+        variable=[tfi],
+    )
+    return Problem(pre.build(), 34.18 * _D2R, "space_shuttle", init=init)
+
+
+@register
+def truck_trailer() -> Problem:
+    """Truck with two trailers, min time-plus-jackknife parking maneuver.
+
+    Reference test/problems/truck_trailer.jl:7–119 (obj 59.28). States
+    [x2, y2, th0, th1, th2, v0, delta0], controls [dv0, ddelta0], free tf."""
+    L0, M0 = 0.4, 0.1
+    L1, M1 = 1.1, 0.2
+    L2 = 0.8
+
+    def dyn(t, x, u, v):
+        x2, y2, th0, th1, th2, v0, d0 = x
+        b01, b12 = th0 - th1, th1 - th2
+        dth0 = v0 / L0 * jnp.tan(d0)
+        dth1 = v0 / L1 * jnp.sin(b01) - M0 / L1 * jnp.cos(b01) * dth0
+        v1 = v0 * jnp.cos(b01) + M0 * jnp.sin(b01) * dth0
+        dth2 = v1 / L2 * jnp.sin(b12) - M1 / L2 * jnp.cos(b12) * dth1
+        v2 = v1 * jnp.cos(b12) + M1 * jnp.sin(b12) * dth1
+        return jnp.array(
+            [v2 * jnp.cos(th2), v2 * jnp.sin(th2), dth0, dth1, dth2, u[0], u[1]]
+        )
+
+    def betas(t, x, u, v):
+        return jnp.array([x[2] - x[3], x[3] - x[4]])
+
+    pre = PreOCP("truck_trailer")
+    pre.state(7).control(2).variable(1)
+    pre.time(t0=0.0, tf_index=0)
+    pre.dynamics(dyn)
+    pre.objective(
+        mayer=lambda x0_, xf, v: v[0],
+        lagrange=lambda t, x, u, v: (x[2] - x[3]) ** 2 + (x[3] - x[4]) ** 2,
+    )
+    hp = np.pi / 2
+    pre.state_bounds(lb=[-hp, -hp], ub=[hp, hp], rg=[2, 3])
+    pre.state_bounds(lb=[-0.2], ub=[0.2], rg=[5])
+    pre.state_bounds(lb=[-np.pi / 6], ub=[np.pi / 6], rg=[6])
+    pre.control_bounds(lb=[-1.0, -np.pi / 10], ub=[1.0, np.pi / 10])
+    pre.variable_bounds(lb=[1.0], ub=[1000.0])
+    pre.path_constraint(betas, lb=[-hp, -hp], ub=[hp, hp])
+    pre.initial_state([0.0, 0.0, 0.0, 0.0, 0.0], rg=[0, 1, 2, 3, 4])
+    pre.final_state([0.0, -2.0, hp], rg=[0, 1, 4])
+    # final alignment: beta01(tf) = beta12(tf) = 0
+    pre.boundary_constraint(
+        lambda x0_, xf, v: jnp.array([xf[2] - xf[3], xf[3] - xf[4]]),
+        lb=[0.0, 0.0],
+        ub=[0.0, 0.0],
+    )
+    init = InitialGuess(variable=[10.0])
+    return Problem(pre.build(), 59.28, "truck_trailer", init=init)
+
+
+def _purcell_g(th, b1, b3):
+    """Grand-resistance-matrix rows of the Bocop three-link microswimmer
+    (reference test/problems/swimmer.jl:36–131): dx/dt = g1·a, dy/dt = g2·a,
+    dth/dt = g3·a for shape velocities a = (a1, a2). Returns the 3x2 matrix G."""
+    s, c = jnp.sin, jnp.cos
+    aux = (
+        543
+        + 186 * c(b1)
+        + 37 * c(2 * b1)
+        + 12 * c(b1 - 2 * b3)
+        + 30 * c(b1 - b3)
+        + 2 * c(2 * (b1 - b3))
+        + 12 * c(2 * b1 - b3)
+        + 186 * c(b3)
+        + 37 * c(2 * b3)
+        - 6 * c(b1 + b3)
+        - 3 * c(2 * (b1 + b3))
+        - 6 * c(2 * b1 + b3)
+        - 6 * c(b1 + 2 * b3)
+    )
+    g11 = (
+        -42 * s(b1 - th) - 2 * s(2 * b1 - th) - 24 * s(th) - 300 * s(b1 + th)
+        - 12 * s(2 * b1 + th) - 6 * s(b1 - th - 2 * b3) - s(2 * b1 - th - 2 * b3)
+        + 4 * s(th - 2 * b3) - 12 * s(b1 + th - 2 * b3) - s(2 * b1 + th - 2 * b3)
+        + 18 * s(b1 - th - b3) + 8 * s(th - b3) - 54 * s(b1 + th - b3)
+        - 2 * s(2 * b1 + th - b3) - 18 * s(b1 - th + b3) - 38 * s(th + b3)
+        - 90 * s(b1 + th + b3) - 6 * s(b1 - th + 2 * b3) - 18 * s(th + 2 * b3)
+        - 30 * s(b1 + th + 2 * b3)
+    ) / (4 * aux)
+    g12 = (
+        -42 * c(b1 - th) - 2 * c(2 * b1 - th) + 24 * c(th) + 300 * c(b1 + th)
+        + 12 * c(2 * b1 + th) - 6 * c(b1 - th - 2 * b3) - c(2 * b1 - th - 2 * b3)
+        - 4 * c(th - 2 * b3) + 12 * c(b1 + th - 2 * b3) + c(2 * b1 + th - 2 * b3)
+        + 18 * c(b1 - th - b3) - 8 * c(th - b3) + 54 * c(b1 + th - b3)
+        + 2 * c(2 * b1 + th - b3) - 18 * c(b1 - th + b3) + 38 * c(th + b3)
+        + 90 * c(b1 + th + b3) - 6 * c(b1 - th + 2 * b3) + 18 * c(th + 2 * b3)
+        + 30 * c(b1 + th + 2 * b3)
+    ) / (4 * aux)
+    g13 = -(
+        105 + 186 * c(b1) + 2 * c(2 * b1) + 12 * c(b1 - 2 * b3) + 30 * c(b1 - b3)
+        + c(2 * (b1 - b3)) - 4 * c(2 * b3) - 6 * c(b1 + b3) - 6 * c(b1 + 2 * b3)
+    ) / (2 * aux)
+    g21 = (
+        8 * s(b1 - th) + 4 * s(2 * b1 - th) + 24 * s(th) + 38 * s(b1 + th)
+        + 18 * s(2 * b1 + th) - 2 * s(b1 - th - 2 * b3) - s(2 * b1 - th - 2 * b3)
+        - 2 * s(th - 2 * b3) - s(2 * b1 + th - 2 * b3) - 54 * s(b1 - th - b3)
+        - 12 * s(2 * b1 - th - b3) - 42 * s(th - b3) + 18 * s(b1 + th - b3)
+        - 6 * s(2 * b1 + th - b3) + 18 * s(b1 - th + b3) + 6 * s(2 * b1 - th + b3)
+        + 300 * s(th + b3) + 90 * s(b1 + th + b3) + 30 * s(2 * b1 + th + b3)
+        + 12 * s(th + 2 * b3)
+    ) / (4 * aux)
+    g22 = (
+        8 * c(b1 - th) + 4 * c(2 * b1 - th) - 24 * c(th) - 38 * c(b1 + th)
+        - 18 * c(2 * b1 + th) - 2 * c(b1 - th - 2 * b3) - c(2 * b1 - th - 2 * b3)
+        + 2 * c(th - 2 * b3) + c(2 * b1 + th - 2 * b3) - 54 * c(b1 - th - b3)
+        - 12 * c(2 * b1 - th - b3) + 42 * c(th - b3) - 18 * c(b1 + th - b3)
+        + 6 * c(2 * b1 + th - b3) + 18 * c(b1 - th + b3) + 6 * c(2 * b1 - th + b3)
+        - 300 * c(th + b3) - 90 * c(b1 + th + b3) - 30 * c(2 * b1 + th + b3)
+        - 12 * c(th + 2 * b3)
+    ) / (4 * aux)
+    g23 = -(
+        105 - 4 * c(2 * b1) + 30 * c(b1 - b3) + c(2 * (b1 - b3)) + 12 * c(2 * b1 - b3)
+        + 186 * c(b3) + 2 * c(2 * b3) - 6 * c(b1 + b3) - 6 * c(2 * b1 + b3)
+    ) / (2 * aux)
+    return jnp.array([[g11, g21], [g12, g22], [g13, g23]])
+
+
+@register
+def swimmer(tf: float = 25.0) -> Problem:
+    """Bocop three-link Purcell microswimmer, maximize displacement x1(tf).
+
+    Reference test/problems/swimmer.jl:5–145 (obj 0.984273 at tf=25). States
+    [x, y, theta, beta1, beta3], controls = shape velocities (a1, a2)."""
+
+    def dyn(t, x, u, v):
+        G = _purcell_g(x[2], x[3], x[4])
+        xyth_dot = G @ u
+        return jnp.concatenate([xyth_dot, u])
+
+    pre = PreOCP("swimmer")
+    pre.state(5).control(2)
+    pre.time(t0=0.0, tf=float(tf))
+    pre.dynamics(dyn)
+    pre.objective(mayer=lambda x0_, xf, v: xf[0], maximize=True)
+    pre.state_bounds(lb=[-3.15, -1.5, -1.5], ub=[3.15, 1.5, 1.5], rg=[2, 3, 4])
+    pre.control_bounds(lb=[-1.0, -1.0], ub=[1.0, 1.0])
+    pre.initial_state([0.0, 0.0], rg=[0, 1])
+    # symmetry-breaking inequality boundary rows: -3.15 <= theta(0) <= 0,
+    # 0 <= beta1(0) (swimmer.jl:18–19)
+    pre.boundary_constraint(
+        lambda x0_, xf, v: jnp.array([x0_[2], x0_[3]]),
+        lb=[-3.15, 0.0],
+        ub=[0.0, np.inf],
+    )
+    pre.final_state([0.0], rg=[1])
+    obj = 0.984273 if tf == 25.0 else None
+    return Problem(pre.build(), obj, "swimmer", init=None)

@@ -28,6 +28,15 @@ def _get_solver(docp: DOCP, options: IPMOptions):
     key = options
     if key not in cache:
         spec = make_spec(docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
+        if options.kkt_mode == "dense":
+            kkt = None  # ipm_solve defaults to DenseKKT
+        elif options.kkt_mode in ("structured", "cr"):
+            from ctdirect_tpu.solver.structured_kkt import StructuredKKT
+
+            algo = "cr" if options.kkt_mode == "cr" else "scan"
+            kkt = StructuredKKT(docp, algorithm=algo)
+        else:
+            raise ValueError(f"unknown kkt_mode {options.kkt_mode!r}")
 
         def run(z0, zl, zu, cl, cu):
             return ipm_solve(
@@ -40,6 +49,7 @@ def _get_solver(docp: DOCP, options: IPMOptions):
                 cl,
                 cu,
                 options=options,
+                kkt=kkt,
             )
 
         cache[key] = jax.jit(run)

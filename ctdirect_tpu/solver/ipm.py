@@ -76,7 +76,9 @@ class IPMOptions:
     max_reg_trials: int = 20
     curvature_frac: float = 1e-11  # inertia-free test threshold (Chiang-Zavala)
     max_soft_fail: int = 8  # consecutive failed line searches before abort
-    kkt_mode: str = "structured"  # "structured" (block-tridiag O(N)) | "dense"
+    # "structured" (block-tridiag elimination, O(N) depth) | "cr" (block cyclic
+    # reduction, O(log N) depth) | "dense" (correctness oracle, small N only)
+    kkt_mode: str = "structured"
     grad_scaling: bool = True  # Ipopt gradient-based f/c scaling at z0
     scaling_max_grad: float = 100.0
     lsq_lambda_init: bool = True  # least-squares equality multiplier init
