@@ -93,6 +93,7 @@ class IPMOptions:
     eta_phi: float = 1e-8  # Armijo constant for f-type steps
     kappa_soc: float = 0.99  # SOC acceptance: theta_soc <= kappa_soc * theta
     max_soc: int = 3  # second-order correction rounds
+    debug: bool = False  # jax.debug.print per-iteration line-search diagnostics
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -406,7 +407,11 @@ def ipm_solve(
         Drow = jnp.where(ineq, 1.0 / sigma_s, 0.0)
 
         # ---- regularized KKT solve with inertia-free curvature retry ----
-        h_scale = kkt.diag_scale(kdata) + jnp.max(sigma_z)
+        # NB: scale delta_w by the Lagrangian Hessian's diagonal ONLY — the
+        # barrier Sigma is PSD and never needs offsetting, and near active
+        # bounds max(sigma) ~ mu/gap^2 explodes, which would lock the ladder
+        # at astronomical delta_w (gradient-like steps, permanent stall)
+        h_scale = kkt.diag_scale(kdata)
 
         def reg_solve(delta_w, delta_c):
             dz, dlam = kkt.solve(
@@ -440,10 +445,19 @@ def ipm_solve(
 
         def reg_body(state):
             (delta_w, trials), _, _, _, _ = state
+            # Ipopt's inertia-correction ladder (Waechter-Biegler Algorithm IC):
+            # first trial from the decayed last-used value (kappa_w^- = 1/3),
+            # escalate by kappa_w^+ = 8 (100 on the very first-ever correction)
+            never_used = carry.delta_w_last == 0.0
+            first = jnp.where(
+                never_used,
+                opts.delta_w_init * h_scale,
+                jnp.maximum(1e-20 * h_scale, carry.delta_w_last / 3.0),
+            )
             new_dw = jnp.where(
                 trials == 0,
-                jnp.maximum(opts.delta_w_init * h_scale, carry.delta_w_last / 3.0),
-                delta_w * 10.0,
+                first,
+                delta_w * jnp.where(never_used, 100.0, 8.0),
             )
             dz, dlam, ds, ok = reg_solve(new_dw, delta_c_reg)
             return (new_dw, trials + 1), dz, dlam, ds, ok
@@ -548,6 +562,14 @@ def ipm_solve(
             alpha, ls_it, _, _ = state
             th_t, ph_t = eval_trial(z + alpha * dz, s + alpha * ds)
             ok, ftype = trial_accept(alpha, th_t, ph_t)
+            if opts.debug:
+                jax.debug.print(
+                    "   ls a={a:.3e} th={th:.6e} ph={ph:.8e} ok={ok}",
+                    a=alpha,
+                    th=th_t,
+                    ph=ph_t,
+                    ok=ok,
+                )
             return jnp.where(ok, alpha, alpha * 0.5), ls_it + 1, ok, ftype
 
         alpha_bt, _, ok_bt, ftype_bt = jax.lax.while_loop(
@@ -563,6 +585,27 @@ def ipm_solve(
 
         use_soc = soc_valid & (~ok_1)
         accepted = ok_1 | soc_valid | ok_bt
+        if opts.debug:
+            jax.debug.print(
+                "it={it} mu={mu:.1e} amax={amax:.2e} th0={th0:.3e} phi0={phi0:.6e} "
+                "dphi={dphi:.3e} th1={th1:.3e} ph1={ph1:.6e} ok1={ok1} soc={soc} "
+                "okbt={okbt} abt={abt:.2e} dw={dw:.1e} |dz|={ndz:.2e} |dlam|={ndl:.2e}",
+                it=carry.it,
+                mu=mu,
+                amax=alpha_max,
+                th0=theta0,
+                phi0=phi0,
+                dphi=dphi,
+                th1=th_1,
+                ph1=ph_1,
+                ok1=ok_1,
+                soc=soc_valid,
+                okbt=ok_bt,
+                abt=alpha_bt,
+                dw=delta_w_used,
+                ndz=jnp.max(jnp.abs(dz)),
+                ndl=jnp.max(jnp.abs(dlam)),
+            )
         alpha = jnp.where(
             ok_1, alpha_max, jnp.where(use_soc, a_soc, alpha_bt)
         )

@@ -1,0 +1,225 @@
+"""Lane-minor (batch-minor) small-block linear algebra + cyclic reduction.
+
+TPU arrays are tiled on their LAST TWO dims as (sublane, lane) = (8, 128).
+A batched KKT solve that carries its tiny (bs, bs) blocks in the trailing dims
+— the natural result of `vmap`ping the single-instance solver — wastes ~95% of
+every vector tile and runs ~50x slower than the same arithmetic with the batch
+axis LAST (measured: batched 5x5 pivoted inverse, B=512 x m=128: 89.3 ms
+batch-major vs 1.86 ms lane-minor on v5e, benchmarks/layout_micro.py).
+
+This module is the lane-minor engine: every tensor ends in the batch axis B
+(mapped to lanes), block indices live in sublane/major dims, and all tiny-dim
+contractions are unrolled into elementwise multiply-adds (pure VPU work). The
+public entry point `cr_solve` is a `jax.custom_batching.custom_vmap` wrapper
+around the single-instance cyclic-reduction solve (structured_kkt._cr_solve):
+un-batched callers get the plain solver, while ANY `vmap` over it (batched MPC
+resolve, batched full IPM) dispatches here instead of deriving the
+catastrophic batch-major layout.
+
+Shapes (lane-minor): A (P, bs, bs, B) diagonal blocks, Bp (P, bs, bs, B)
+super-diagonal couplings (Bp[i]: block i -> i+1, last slot zero), E (P, bs,
+wb, B) border coupling, F (wb, wb, B) border block, r (P, bs, B), rb (wb, B).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------------
+# lane-minor primitives (trailing batch axis; tiny dims unrolled)
+# ----------------------------------------------------------------------------
+
+
+def bmm(X, Y):
+    """(..., i, j, B) @ (..., j, k, B) -> (..., i, k, B), unrolled over j."""
+    j = X.shape[-2]
+    return sum(X[..., :, t, None, :] * Y[..., None, t, :, :] for t in range(j))
+
+
+def bmm_tn(X, Y):
+    """X^T @ Y: (..., j, i, B), (..., j, k, B) -> (..., i, k, B)."""
+    j = X.shape[-3]
+    return sum(X[..., t, :, None, :] * Y[..., t, None, :, :] for t in range(j))
+
+
+def bmv(X, y):
+    """(..., i, j, B) @ (..., j, B) -> (..., i, B)."""
+    j = X.shape[-2]
+    return sum(X[..., :, t, :] * y[..., None, t, :] for t in range(j))
+
+
+def bmv_tn(X, y):
+    """X^T @ y: (..., j, i, B), (..., j, B) -> (..., i, B)."""
+    j = X.shape[-3]
+    return sum(X[..., t, :, :] * y[..., t, None, :] for t in range(j))
+
+
+def _gj_eliminate_lanes(M, n):
+    """Pivoted Gauss-Jordan on augmented (..., n, n + k, B), unrolled over the
+    n columns. Per-lane partial pivoting: the pivot row index is chosen
+    independently for every (..., B) lane via argmax + onehot selects — pure
+    elementwise work, no cross-lane data movement."""
+    rows = jnp.arange(n)
+    rsel = rows[(None,) * (M.ndim - 3) + (slice(None), None)]  # (..., n, 1)-ish
+    for j in range(n):
+        colj = jnp.abs(M[..., :, j, :])  # (..., n, B)
+        colj = jnp.where(rsel >= j, colj, -jnp.inf)
+        p = jnp.argmax(colj, axis=-2)  # (..., B)
+        oh = (p[..., None, :] == rsel).astype(M.dtype)  # (..., n, B)
+        rowp = jnp.einsum("...rB,...rcB->...cB", oh, M)  # pivot row (..., c, B)
+        rowj = M[..., j, :, :]
+        # swap rows j and p lane-wise: row p receives row j, row j receives row p
+        M = M + oh[..., :, None, :] * (rowj[..., None, :, :] - rowp[..., None, :, :])
+        M = M.at[..., j, :, :].set(rowp)
+        piv = M[..., j, j, :]
+        row = M[..., j, :, :] / piv[..., None, :]
+        colv = M[..., :, j, :].at[..., j, :].set(0.0)
+        M = M - colv[..., :, None, :] * row[..., None, :, :]
+        M = M.at[..., j, :, :].set(row)
+    return M
+
+
+def gj_inverse_lanes(A):
+    """Pivoted Gauss-Jordan inverse, lane-minor. A: (..., n, n, B)."""
+    n = A.shape[-2]
+    eye = jnp.eye(n, dtype=A.dtype)[..., None]
+    M = jnp.concatenate([A, jnp.broadcast_to(eye, A.shape)], axis=-2)
+    return _gj_eliminate_lanes(M, n)[..., :, n:, :]
+
+
+def gj_solve_lanes(A, B_):
+    """Solve A X = B lane-minor. A: (..., n, n, B), B: (..., n, k, B)."""
+    n = A.shape[-2]
+    M = jnp.concatenate([A, B_], axis=-2)
+    return _gj_eliminate_lanes(M, n)[..., :, n:, :]
+
+
+# ----------------------------------------------------------------------------
+# lane-minor block cyclic reduction + arrowhead border
+# ----------------------------------------------------------------------------
+
+
+def cr_solve_lanes(A, Bp, E, F, r, rb):
+    """Block cyclic reduction + border Schur, lane-minor layout (see module
+    docstring for shapes). Same recurrences as structured_kkt._cr_solve.
+    P = A.shape[0] must be a power of two (caller pads)."""
+    P, bs, _, B = A.shape
+    wb = E.shape[-2]
+    dtype = A.dtype
+
+    levels = []
+    M = P
+    while M > 1:
+        Ae, Ao = A[0::2], A[1::2]
+        Bl = Bp[0::2]  # even_j -> odd_j
+        Br = Bp[1::2]  # odd_j -> even_{j+1} (last slot zero)
+        Eo, ro = E[1::2], r[1::2]
+        Ainv_o = gj_inverse_lanes(Ao)
+
+        CL = bmm(Bl, Ainv_o)  # (M/2, bs, bs, B)
+        CR = bmm_tn(Br, Ainv_o)  # B_r^T A_o^{-1}
+
+        # A'[even_j]   -= CL @ Bl^T ; A'[even_{j+1}] -= CR @ Br
+        A_new = Ae - bmm(CL, jnp.swapaxes(Bl, -3, -2))
+        A_new = A_new.at[1:].add(-bmm(CR, Br)[:-1])
+        E_new = E[0::2] - bmm(CL, Eo)
+        E_new = E_new.at[1:].add(-bmm(CR, Eo)[:-1])
+        r_new = r[0::2] - bmv(CL, ro)
+        r_new = r_new.at[1:].add(-bmv(CR, ro)[:-1])
+        B_new = -bmm(CL, Br)
+        B_new = B_new.at[-1].set(jnp.zeros((bs, bs, B), dtype))
+
+        AiE = bmm(Ainv_o, Eo)  # (M/2, bs, wb, B)
+        F = F - jnp.einsum("msvB,mswB->vwB", Eo, AiE)
+        rb = rb - jnp.einsum("msvB,msB->vB", Eo, bmv(Ainv_o, ro))
+
+        levels.append((Ainv_o, Bl, Br, Eo, ro))
+        A, Bp, E, r = A_new, B_new, E_new, r_new
+        M //= 2
+
+    # root: [[A0, E0], [E0^T, F]] [x0; xb] = [r0; rb]
+    top = jnp.concatenate([A[0], E[0]], axis=-2)  # (bs, bs+wb, B)
+    bot = jnp.concatenate([jnp.swapaxes(E[0], -3, -2), F], axis=-2)
+    root = jnp.concatenate([top, bot], axis=-3)  # (bs+wb, bs+wb, B)
+    rhs = jnp.concatenate([r[0], rb], axis=-2)[..., :, None, :]
+    sol = gj_solve_lanes(root, rhs)[..., :, 0, :]  # (bs+wb, B)
+    X = sol[:bs][None]  # (1, bs, B)
+    xb = sol[bs:]  # (wb, B)
+
+    for Ainv_o, Bl, Br, Eo, ro in reversed(levels):
+        m = Ainv_o.shape[0]
+        x_e = X  # (m, bs, B)
+        x_e_next = jnp.concatenate([x_e[1:], jnp.zeros((1, bs, B), dtype)], axis=0)
+        rhs = (
+            ro
+            - bmv_tn(Bl, x_e)
+            - bmv(Br, x_e_next)
+            - bmv(Eo, jnp.broadcast_to(xb, (m, wb, B)))
+        )
+        x_o = bmv(Ainv_o, rhs)
+        X = jnp.stack([x_e, x_o], axis=1).reshape(2 * m, bs, B)
+
+    return X, xb
+
+
+# ----------------------------------------------------------------------------
+# custom-vmap entry point
+# ----------------------------------------------------------------------------
+
+
+@jax.custom_batching.custom_vmap
+def cr_solve(A, B_, E, F, r, rb):
+    """Block-tridiagonal + arrowhead solve via cyclic reduction.
+
+    Single instance: A (N, bs, bs), B_ (N-1, bs, bs), E (N, bs, wb),
+    F (wb, wb), r (N, bs), rb (wb) -> (X (N, bs), xb (wb)).
+
+    Under `jax.vmap`, dispatches to the lane-minor engine (batch axis moved to
+    lanes) instead of the default batching rule — identical math, ~50x faster
+    on TPU for the tiny blocks collocation produces.
+    """
+    from ctdirect_tpu.solver.structured_kkt import _cr_solve
+
+    return _cr_solve(A, B_, E, F, r, rb)
+
+
+@cr_solve.def_vmap
+def _cr_solve_vmap(axis_size, in_batched, A, B_, E, F, r, rb):
+    # move any batched leading axis to the LAST (lane) position; broadcast
+    # unbatched operands across it
+    def prep(x, batched):
+        if batched:
+            return jnp.moveaxis(x, 0, -1)
+        return jnp.broadcast_to(x[..., None], x.shape + (axis_size,))
+
+    args = [
+        prep(x, b)
+        for x, b in zip((A, B_, E, F, r, rb), in_batched)
+    ]
+    N = args[0].shape[0]
+    Ax, Bx, Ex, rx = _pad_pow2_lanes(args[0], args[1], args[2], args[4])
+    X, xb = cr_solve_lanes(Ax, Bx, Ex, args[3], rx, args[5])
+    X = jnp.moveaxis(X[:N], -1, 0)
+    xb = jnp.moveaxis(xb, -1, 0)
+    return (X, xb), (True, True)
+
+
+def _pad_pow2_lanes(A, B_, E, r):
+    """Pad to a power of two, lane-minor layout: A (N, bs, bs, B) etc."""
+    N, bs, _, B = A.shape
+    dtype = A.dtype
+    P = 1
+    while P < N:
+        P *= 2
+    pad = P - N
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(bs, dtype=dtype)[..., None], (pad, bs, bs, B))
+        A = jnp.concatenate([A, eye], axis=0)
+        E = jnp.concatenate([E, jnp.zeros((pad, bs, E.shape[-2], B), dtype)], axis=0)
+        r = jnp.concatenate([r, jnp.zeros((pad, bs, B), dtype)], axis=0)
+    Bp = jnp.concatenate(
+        [B_, jnp.zeros((P - B_.shape[0], bs, bs, B), dtype)], axis=0
+    )
+    return A, Bp, E, r

@@ -281,7 +281,12 @@ class StructuredKKT:
     def solve(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
         blocks = self._assemble(data, sigma_z, Drow, delta_w, delta_c, rz, rp)
         if self.algorithm == "cr":
-            X, xb = _cr_solve(*blocks)
+            # custom_vmap wrapper: un-batched -> _cr_solve; under vmap -> the
+            # lane-minor engine (solver/lanes.py), which keeps the batch axis
+            # in TPU lanes instead of deriving the batch-major layout
+            from ctdirect_tpu.solver.lanes import cr_solve
+
+            X, xb = cr_solve(*blocks)
         else:
             X, xb = _scan_solve(*blocks)
         return self._unscatter(X, xb)
