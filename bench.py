@@ -56,7 +56,8 @@ def main():
 
     t0 = time.time()
     warm = ctrl.cold_start(options=IPMOptions(tol=1e-8, max_iter=60))
-    log(f"cold start (full IPM): {time.time()-t0:.1f}s incl compile")
+    cold_s = time.time() - t0
+    log(f"cold start (full IPM): {cold_s:.1f}s incl compile")
 
     states = broadcast_state(warm, B)
     rng = np.random.default_rng(0)
@@ -66,7 +67,8 @@ def main():
     t0 = time.time()
     states, u0, kkt, viol = ctrl(states, x0)
     u0.block_until_ready()
-    log(f"tick compile+run: {time.time()-t0:.1f}s")
+    tick_compile_s = time.time() - t0
+    log(f"tick compile+run: {tick_compile_s:.1f}s")
 
     # timed ticks (new measured states each tick, like a real control loop)
     reps = 10
@@ -85,6 +87,17 @@ def main():
         f"{solves_per_s:.0f} solves/s (kkt {kkt_max:.1e}, viol {viol_max:.1e})"
     )
 
+    # roofline / MFU of the tick program (VERDICT.md item 8)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.profile_tick import roofline
+
+    stats = roofline(ctrl._tick, dt, (states, xs[-1])) or {}
+    if stats:
+        log(
+            f"roofline: {stats['gflops']:.1f} GFLOP/s ({100*stats['mfu']:.2f}% f32-peak), "
+            f"{stats['gbps']:.1f} GB/s HBM ({100*stats['hbm_util']:.1f}% of peak)"
+        )
+
     print(
         json.dumps(
             {
@@ -92,6 +105,12 @@ def main():
                 "value": round(solves_per_s, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 10000.0, 4),
+                "mfu_f32peak": round(stats.get("mfu", 0.0), 5),
+                "hbm_util": round(stats.get("hbm_util", 0.0), 4),
+                "achieved_gflops": round(stats.get("gflops", 0.0), 1),
+                "achieved_gbps": round(stats.get("gbps", 0.0), 1),
+                "tick_compile_s": round(tick_compile_s, 1),
+                "cold_start_s": round(cold_s, 1),
             }
         )
     )

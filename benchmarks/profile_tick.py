@@ -112,6 +112,60 @@ def main():
         f"vs tick {t_tick*1e3:.2f} ms"
     )
 
+    # ---- roofline / MFU (VERDICT.md item 8) ----
+    stats = roofline(ctrl._tick, t_tick, (states, x0))
+    if stats:
+        log(
+            f"roofline: {stats['gflops']:.1f} GFLOP/s ({100*stats['mfu']:.2f}% of "
+            f"{stats['peak_tflops']:.0f} TFLOP/s f32 peak), "
+            f"{stats['gbps']:.1f} GB/s HBM ({100*stats['hbm_util']:.1f}% of "
+            f"{stats['peak_gbps']:.0f} GB/s) -> "
+            f"{'BANDWIDTH' if stats['hbm_util'] > stats['mfu'] else 'COMPUTE'}-dominated"
+        )
+
+
+# per-chip peaks; v5e ("v5 lite") from the public spec sheet
+_PEAKS = {
+    "v5 lite": dict(tflops_f32=98.6, gbps=819.0),
+    "v5litepod": dict(tflops_f32=98.6, gbps=819.0),
+    "v5p": dict(tflops_f32=229.0, gbps=2765.0),
+    "v4": dict(tflops_f32=137.5, gbps=1228.0),
+    "cpu": dict(tflops_f32=1.0, gbps=50.0),
+}
+
+
+def roofline(jitted, wall_s, args):
+    """XLA cost analysis of a compiled function -> achieved FLOP/s + HBM BW vs
+    the chip's peaks. f64 arithmetic is software-emulated on TPU, so 'mfu' here
+    is the fraction of f32 peak the XLA-counted f64 op stream achieves — the
+    honest statement is the HBM utilisation (this workload is VPU/bandwidth
+    bound: tiny-block Gauss-Jordan has no MXU-shaped matmuls)."""
+    import jax
+
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bts = float(cost.get("bytes accessed", 0.0))
+    except Exception as e:  # noqa: BLE001 — cost analysis is backend-dependent
+        log(f"roofline: cost_analysis unavailable ({e})")
+        return None
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = next((v for k, v in _PEAKS.items() if k in kind), _PEAKS["cpu"])
+    gflops = flops / wall_s / 1e9
+    gbps = bts / wall_s / 1e9
+    return dict(
+        flops=flops,
+        bytes=bts,
+        gflops=gflops,
+        gbps=gbps,
+        mfu=gflops / (peaks["tflops_f32"] * 1e3),
+        hbm_util=gbps / peaks["gbps"],
+        peak_tflops=peaks["tflops_f32"],
+        peak_gbps=peaks["gbps"],
+    )
+
 
 if __name__ == "__main__":
     main()

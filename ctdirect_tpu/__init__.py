@@ -26,6 +26,7 @@ if _os.environ.get("CTDIRECT_TPU_X64", "1") != "0":
 from ctdirect_tpu.model import (  # noqa: E402
     OCP,
     PreOCP,
+    define,
     InitialGuess,
     Solution,
 )

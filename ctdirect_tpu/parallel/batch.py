@@ -56,42 +56,57 @@ class BatchSolver:
             kkt = StructuredKKT(docp)
         kw = {} if kkt is None else {"kkt": kkt}
 
-        def solve_one(z0, cl, cu):
+        def solve_one(z0, zl, zu, cl, cu):
             return ipm_solve(
                 docp.nlp_objective,
                 docp.constraints,
                 spec,
                 z0,
-                docp._z_lb,
-                docp._z_ub,
+                zl,
+                zu,
                 cl,
                 cu,
                 options=options,
                 **kw,
             )
 
-        vsolve = jax.vmap(solve_one, in_axes=(0, 0, 0))
+        vsolve = jax.vmap(solve_one, in_axes=(0, 0, 0, 0, 0))
 
         if mesh is not None:
             sharding = NamedSharding(mesh, P(batch_axis))
 
-            def sharded(z0, cl, cu):
-                z0 = jax.lax.with_sharding_constraint(z0, sharding)
-                cl = jax.lax.with_sharding_constraint(cl, sharding)
-                cu = jax.lax.with_sharding_constraint(cu, sharding)
-                return vsolve(z0, cl, cu)
+            def sharded(z0, zl, zu, cl, cu):
+                args = [
+                    jax.lax.with_sharding_constraint(a, sharding)
+                    for a in (z0, zl, zu, cl, cu)
+                ]
+                return vsolve(*args)
 
             self._fn = jax.jit(sharded)
         else:
             self._fn = jax.jit(vsolve)
 
-    def __call__(self, z0_batch, cl_batch=None, cu_batch=None):
+    def __call__(self, z0_batch, cl_batch=None, cu_batch=None, zl_batch=None, zu_batch=None):
+        """Every per-instance quantity may vary across the batch: the initial
+        guess, the constraint rhs (cl/cu — e.g. per-instance x0 through the
+        boundary rows) AND the variable boxes (zl/zu — e.g. per-instance
+        actuator limits, BASELINE configs 4–5). Unsupplied bounds broadcast
+        from the DOCP's static ones."""
         B = z0_batch.shape[0]
-        if cl_batch is None:
-            cl_batch = jnp.broadcast_to(self.docp._c_lb, (B,) + self.docp._c_lb.shape)
-        if cu_batch is None:
-            cu_batch = jnp.broadcast_to(self.docp._c_ub, (B,) + self.docp._c_ub.shape)
-        return self._fn(z0_batch, cl_batch, cu_batch)
+
+        def bc(given, default):
+            if given is not None:
+                return given
+            default = jnp.asarray(default)
+            return jnp.broadcast_to(default, (B,) + default.shape)
+
+        return self._fn(
+            z0_batch,
+            bc(zl_batch, self.docp._z_lb),
+            bc(zu_batch, self.docp._z_ub),
+            bc(cl_batch, self.docp._c_lb),
+            bc(cu_batch, self.docp._c_ub),
+        )
 
 
 def make_batch_solver(docp, options=IPMOptions(), mesh=None, kkt=None) -> BatchSolver:

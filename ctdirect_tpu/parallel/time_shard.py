@@ -257,8 +257,10 @@ class TimeShardedKKT:
     def diag_scale(self, data):
         return self.inner.diag_scale(data)
 
-    def lsq_lambda(self, z, g, sf, sc):
-        return None
+    def lsq_lambda(self, z, g, sf, sc, Drow=None):
+        # the LSQ init/refresh solve is tiny relative to the IPM iterations:
+        # run it through the local (unsharded) block elimination
+        return self.inner.lsq_lambda(z, g, sf, sc, Drow)
 
     def solve(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
         blocks = self.inner._assemble(data, sigma_z, Drow, delta_w, delta_c, rz, rp)

@@ -38,3 +38,4 @@ from ctdirect_tpu.problems import goddard  # noqa: E402,F401
 from ctdirect_tpu.problems import advanced  # noqa: E402,F401
 from ctdirect_tpu.problems import misc  # noqa: E402,F401
 from ctdirect_tpu.problems import vehicles  # noqa: E402,F401
+from ctdirect_tpu.problems import mpc_fixtures  # noqa: E402,F401

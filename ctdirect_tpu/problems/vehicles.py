@@ -239,4 +239,11 @@ def swimmer(tf: float = 25.0) -> Problem:
     )
     pre.final_state([0.0], rg=[1])
     obj = 0.984273 if tf == 25.0 else None
-    return Problem(pre.build(), obj, "swimmer", init=None)
+    # 4-stroke periodic paddling init: selects the reference's solution basin
+    # (the raw 0.1-constant init converges to a worse local max, obj 0.893 —
+    # with this init the solve lands at 0.9916 >= the reference 0.984273 in
+    # ~170 iterations). The reference passes no init and relies on Ipopt's
+    # path to reach 0.984 (swimmer.jl:139).
+    k = 2 * np.pi * 4.0 / float(tf)
+    init = InitialGuess(control=lambda t: [np.cos(k * t), np.sin(k * t)])
+    return Problem(pre.build(), obj, "swimmer", init=init)

@@ -61,8 +61,16 @@ class IPMOptions:
     acceptable_tol: float = 1e-6  # Ipopt Solved_To_Acceptable_Level fallback
     mu_init: float = 0.1
     mu_min: float = 1e-12
+    # "monotone" (Fiacco-McCormick, Ipopt mu_strategy=monotone) or "adaptive"
+    # (LOQO-style centrality rule — the free-mode analogue of Ipopt's
+    # mu_strategy=adaptive the reference relies on, test/test_common.jl:66-94)
+    mu_strategy: str = "monotone"
     kappa_mu: float = 0.2  # linear barrier decrease factor
     theta_mu: float = 1.5  # superlinear barrier decrease exponent
+    # Ipopt bound_relax_factor: every box bound is relaxed internally by
+    # eps*max(1,|b|) so solutions ON a bound don't stall the barrier; the final
+    # primal point is clipped back (honor_original_bounds).
+    bound_relax_factor: float = 1e-8
     kappa_eps: float = 10.0  # barrier subproblem tolerance = kappa_eps * mu
     tau_min: float = 0.99  # fraction-to-boundary minimum
     max_iter: int = 200
@@ -83,6 +91,14 @@ class IPMOptions:
     scaling_max_grad: float = 100.0
     lsq_lambda_init: bool = True  # least-squares equality multiplier init
     lambda_init_max: float = 1e3  # reject LS init if larger (Ipopt constr_mult_init_max)
+    # dual refresh (Ipopt recalc_y): when the line search collapses (alpha tiny)
+    # while nearly feasible, the multipliers — not the primal point — are what's
+    # wrong (degenerate active sets leave lam far from the central value and
+    # the primal line search throttles dlam to alpha*dlam). Recompute lam by
+    # least squares at the current point instead of crawling.
+    recalc_lam: bool = True
+    recalc_lam_feas_tol: float = 1e-3
+    recalc_lam_alpha: float = 0.02
     # --- filter line search (Waechter-Biegler) parameters, Ipopt defaults ---
     filter_size: int = 64  # fixed-capacity filter (circular overwrite)
     gamma_theta: float = 1e-5
@@ -233,6 +249,23 @@ def ipm_solve(
     zu = jnp.asarray(zu, dtype)
     cl = jnp.asarray(cl, dtype)
     cu = jnp.asarray(cu, dtype)
+    zl_orig, zu_orig = zl, zu
+
+    # Ipopt bound_relax_factor: relax every finite box bound (z boxes and
+    # inequality-row slack boxes) by eps*max(1,|b|); equality rows untouched.
+    if opts.bound_relax_factor > 0:
+        brf = opts.bound_relax_factor
+
+        def _relax(lo, hi, row_eq=None):
+            rl = lo - brf * jnp.maximum(1.0, jnp.abs(lo))
+            rh = hi + brf * jnp.maximum(1.0, jnp.abs(hi))
+            if row_eq is not None:  # keep equality rows exact
+                rl = jnp.where(row_eq, lo, rl)
+                rh = jnp.where(row_eq, hi, rh)
+            return rl, rh
+
+        zl, zu = _relax(zl, zu)
+        cl, cu = _relax(cl, cu, jnp.asarray(spec.eq_mask))
 
     eq = jnp.asarray(spec.eq_mask)
     ineq = ~eq
@@ -385,6 +418,31 @@ def ipm_solve(
         sgL = _safe_gap(s, sl, slm)
         sgU = _safe_gap(su, s, sum_)
 
+        n_compl = int(
+            np.sum(spec.zl_mask)
+            + np.sum(spec.zu_mask)
+            + np.sum(spec.sl_mask)
+            + np.sum(spec.su_mask)
+        )
+        if opts.mu_strategy == "adaptive" and n_compl > 0:
+            # LOQO centrality rule (Vanderbei; also MadNLP's adaptive oracle):
+            # mu = sigma * avg_compl with sigma driven by how uncentered the
+            # most-converged complementarity pair is.
+            prods = jnp.concatenate(
+                [
+                    jnp.where(zlm, wL * gL, jnp.nan),
+                    jnp.where(zum, wU * gU, jnp.nan),
+                    jnp.where(slm, yL * sgL, jnp.nan),
+                    jnp.where(sum_, yU * sgU, jnp.nan),
+                ]
+            )
+            avg = jnp.nansum(prods) / n_compl
+            xi = jnp.nanmin(jnp.where(jnp.isnan(prods), jnp.nan, prods)) / jnp.maximum(
+                avg, 1e-300
+            )
+            sigma_c = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-12), 2.0) ** 3
+            mu = jnp.clip(sigma_c * avg, opts.mu_min, opts.mu_init)
+
         sigma_z = jnp.where(zlm, wL / gL, 0.0) + jnp.where(zum, wU / gU, 0.0)
         sigma_s = jnp.where(slm, yL / sgL, 0.0) + jnp.where(sum_, yU / sgU, 0.0)
         # inequality rows with no finite slack bound at all would make D singular;
@@ -459,7 +517,14 @@ def ipm_solve(
                 first,
                 delta_w * jnp.where(never_used, 100.0, 8.0),
             )
-            dz, dlam, ds, ok = reg_solve(new_dw, delta_c_reg)
+            # dual regularization PROPORTIONAL to the primal one
+            # (Friedlander-Orban regularized-SQP pairing): with H ~ dw*I the
+            # multiplier step scales like dw * r_p / (|J|^2 + dw*dc), so a
+            # dc ~ 1e-8 dw bounds |dlam| instead of letting it blow up with
+            # every ladder escalation (the lam -> |W| -> dw feedback loop
+            # that stalled truck_trailer in round 1).
+            new_dc = jnp.maximum(delta_c_reg, 1e-8 * new_dw)
+            dz, dlam, ds, ok = reg_solve(new_dw, new_dc)
             return (new_dw, trials + 1), dz, dlam, ds, ok
 
         dz0_, dlam0_, ds0_, ok0 = reg_solve(jnp.asarray(0.0, dtype), opts.delta_c)
@@ -529,29 +594,54 @@ def ipm_solve(
 
         # SOC: if the full step was rejected and did not reduce infeasibility,
         # re-solve with rhs  alpha*r_p + r_p(trial)  (same KKT matrix) — corrects
-        # constraint curvature so active-set steps are not cut to pieces
-        rp_trial = primal_residual(z + alpha_max * dz, s + alpha_max * ds)
-        delta_c_used = jnp.where(delta_w_used > 0, delta_c_reg, opts.delta_c)
-        rbar_p_soc = (alpha_max * r_p + rp_trial) + jnp.where(
-            ineq, rbar_s / sigma_s, 0.0
+        # constraint curvature so active-set steps are not cut to pieces.
+        # Ipopt performs SOC only after a rejected first trial; the lax.cond
+        # keeps the extra KKT solve + merit evaluations off the common
+        # (first-trial-accepted) path.
+        delta_c_used = jnp.where(
+            delta_w_used > 0,
+            jnp.maximum(delta_c_reg, 1e-8 * delta_w_used),
+            opts.delta_c,
         )
-        dz_c, dlam_c = kkt.solve(
-            kdata, sigma_z, Drow, delta_w_used, delta_c_used, rbar_z, rbar_p_soc
+        soc_wanted = (~ok_1) & (th_1 >= theta0)
+
+        def do_soc(_):
+            rp_trial = primal_residual(z + alpha_max * dz, s + alpha_max * ds)
+            rbar_p_soc = (alpha_max * r_p + rp_trial) + jnp.where(
+                ineq, rbar_s / sigma_s, 0.0
+            )
+            dz_c, dlam_c = kkt.solve(
+                kdata, sigma_z, Drow, delta_w_used, delta_c_used, rbar_z, rbar_p_soc
+            )
+            ds_c = jnp.where(ineq, (dlam_c - rbar_s) / sigma_s, 0.0)
+            a_soc = jnp.minimum(
+                _max_step_to_boundary(z, dz_c, zl, zu, zlm, zum, tau),
+                _max_step_to_boundary(s, ds_c, sl, su, slm, sum_, tau),
+            )
+            th_soc, ph_soc = eval_trial(z + a_soc * dz_c, s + a_soc * ds_c)
+            ok_soc_raw, ftype_soc = trial_accept(a_soc, th_soc, ph_soc)
+            valid = (
+                ok_soc_raw
+                & jnp.all(jnp.isfinite(dz_c))
+                & (th_soc <= opts.kappa_soc * theta0)
+            )
+            return dz_c, dlam_c, ds_c, a_soc, valid, ftype_soc
+
+        def no_soc(_):
+            zero = jnp.asarray(0.0, dtype)
+            return (
+                jnp.zeros_like(dz),
+                jnp.zeros_like(dlam),
+                jnp.zeros_like(ds),
+                zero,
+                jnp.asarray(False),
+                jnp.asarray(False),
+            )
+
+        dz_c, dlam_c, ds_c, a_soc, soc_valid_raw, ftype_soc = jax.lax.cond(
+            soc_wanted, do_soc, no_soc, None
         )
-        ds_c = jnp.where(ineq, (dlam_c - rbar_s) / sigma_s, 0.0)
-        a_soc = jnp.minimum(
-            _max_step_to_boundary(z, dz_c, zl, zu, zlm, zum, tau),
-            _max_step_to_boundary(s, ds_c, sl, su, slm, sum_, tau),
-        )
-        th_soc, ph_soc = eval_trial(z + a_soc * dz_c, s + a_soc * ds_c)
-        ok_soc_raw, ftype_soc = trial_accept(a_soc, th_soc, ph_soc)
-        soc_valid = (
-            (~ok_1)
-            & (th_1 >= theta0)
-            & ok_soc_raw
-            & jnp.all(jnp.isfinite(dz_c))
-            & (th_soc <= opts.kappa_soc * theta0)
-        )
+        soc_valid = soc_wanted & soc_valid_raw
 
         # backtracking from alpha_max/2 (only reached if both trials failed)
         def ls_cond(state):
@@ -616,7 +706,6 @@ def ipm_solve(
         dz_f = jnp.where(use_soc, dz_c, dz)
         ds_f = jnp.where(use_soc, ds_c, ds)
         dlam_f = jnp.where(use_soc, dlam_c, dlam)
-        soft_fails = jnp.where(accepted & solve_ok, 0, carry.soft_fails + 1)
 
         # augment the filter on h-type (non-Armijo) accepted steps
         add_entry = accepted & (~is_ftype)
@@ -650,6 +739,59 @@ def ipm_solve(
         yL_n = jnp.clip(yL + alpha_dual * dyL, 0.0)
         yU_n = jnp.clip(yU + alpha_dual * dyU, 0.0)
 
+        # ---- feasibility restoration (lite) ----
+        # When NO trial step is acceptable (Ipopt enters its restoration-phase
+        # NLP here, Waechter-Biegler sec. 3.3), take a damped Gauss-Newton step
+        # on the constraint violation ||c(z) - rhs - s||^2 with the slacks reset
+        # to the projection of c(z) onto their box (Ipopt's slack reset), and
+        # restart the filter. This is the rescue path the reference leans on
+        # via Ipopt/MadNLP (test/test_common.jl:87-90).
+        did_restore = ~accepted
+
+        def restore(_):
+            gn_data = kkt.prepare(
+                z, jnp.zeros_like(lam), jnp.asarray(0.0, dtype), scale_c
+            )
+            s_r = jnp.where(ineq, push_interior(c(z), sl, su, slm, sum_), 0.0)
+            r_r = primal_residual(z, s_r)
+            dz_gn, _ = kkt.solve(
+                gn_data,
+                jnp.zeros((nz,), dtype),
+                jnp.ones((nc,), dtype),
+                jnp.asarray(1e-8, dtype),
+                jnp.asarray(0.0, dtype),
+                jnp.zeros((nz,), dtype),
+                r_r,
+            )
+            dz_gn = jnp.where(jnp.isfinite(dz_gn), dz_gn, 0.0)
+            a_r = _max_step_to_boundary(z, dz_gn, zl, zu, zlm, zum, tau)
+            cand = a_r * 0.5 ** jnp.arange(8, dtype=dtype)
+
+            def theta_of(a):
+                return jnp.sum(jnp.abs(primal_residual(z + a * dz_gn, s_r)))
+
+            ths = jax.vmap(theta_of)(cand)
+            kbest = jnp.argmin(ths)
+            z_r = z + cand[kbest] * dz_gn
+            s_rr = jnp.where(ineq, push_interior(c(z_r), sl, su, slm, sum_), 0.0)
+            progressed = ths[kbest] <= (1.0 - 1e-4) * theta0
+            # Ipopt resets equality multipliers after restoration
+            # (constr_mult_reset_threshold default): the stale lam is exactly
+            # what drove the solver into the corner
+            return z_r, s_rr, jnp.zeros_like(lam), progressed
+
+        def no_restore(_):
+            return z_n, s_n, lam_n, jnp.asarray(False)
+
+        z_n, s_n, lam_n, resto_progress = jax.lax.cond(
+            did_restore, restore, no_restore, None
+        )
+        soft_fails = jnp.where(
+            accepted & solve_ok,
+            0,
+            jnp.where(resto_progress, carry.soft_fails, carry.soft_fails + 1),
+        )
+
         # Ipopt's kappa_Sigma dual safeguard: keep bound duals consistent with mu
         def clamp_dual(wv, gap, mask):
             lo = mu / (1e10 * gap)
@@ -665,26 +807,68 @@ def ipm_solve(
         yL_n = clamp_dual(yL_n, sgLn, slm)
         yU_n = clamp_dual(yU_n, sgUn, sum_)
 
+        # ---- dual refresh (Ipopt recalc_y; see IPMOptions.recalc_lam) ----
+        if opts.recalc_lam and nc > 0:
+            refresh_wanted = (
+                accepted
+                & (alpha <= opts.recalc_lam_alpha)
+                & (theta0 <= opts.recalc_lam_feas_tol)
+            )
+
+            def refresh(_):
+                g_n = grad_f(z_n) - wL_n + wU_n
+                # damp inequality rows in the LSQ system and refresh ONLY the
+                # equality multipliers: ineq-row lam must stay consistent with
+                # the slack duals (r_s = -lam - yL + yU), which the LSQ ignores
+                lam_ls = kkt.lsq_lambda(
+                    z_n, g_n, scale_f, scale_c, Drow=jnp.where(ineq, 1.0, 0.0)
+                )
+                lam_ls = jnp.where(eq, lam_ls, lam_n)
+                # monotone safeguard: keep the refresh only if it strictly
+                # reduces the dual residual at z_n (a bad LSQ jump on a
+                # nonconvex iterate otherwise derails the whole solve)
+                vjp_c = jax.vjp(c, z_n)[1]
+
+                def e_d(lam_try):
+                    return jnp.max(jnp.abs(g_n + vjp_c(lam_try)[0]))
+
+                ok = (
+                    jnp.all(jnp.isfinite(lam_ls))
+                    & (jnp.max(jnp.abs(lam_ls)) < 1e8)
+                    & (e_d(lam_ls) < 0.5 * e_d(lam_n))
+                )
+                return jnp.where(ok, lam_ls, lam_n)
+
+            lam_n = jax.lax.cond(refresh_wanted, refresh, lambda _: lam_n, None)
+
         # ---- convergence & barrier update ----
         err_mu, _ = kkt_error(z_n, s_n, lam_n, wL_n, wU_n, yL_n, yU_n, mu)
         err_0, viol = kkt_error(z_n, s_n, lam_n, wL_n, wU_n, yL_n, yU_n, 0.0)
 
-        mu_next = jnp.where(
-            err_mu <= opts.kappa_eps * mu,
-            jnp.maximum(
-                opts.mu_min,
-                jnp.minimum(opts.kappa_mu * mu, mu**opts.theta_mu),
-            ),
-            mu,
-        )
-        mu_next = jnp.maximum(mu_next, opts.mu_min)
+        if opts.mu_strategy == "adaptive" and n_compl > 0:
+            # adaptive mode recomputes mu from complementarity at the top of
+            # every iteration; the filter is only restarted on restoration
+            mu_next = mu
+            mu_changed = jnp.asarray(False)
+        else:
+            mu_next = jnp.where(
+                err_mu <= opts.kappa_eps * mu,
+                jnp.maximum(
+                    opts.mu_min,
+                    jnp.minimum(opts.kappa_mu * mu, mu**opts.theta_mu),
+                ),
+                mu,
+            )
+            mu_next = jnp.maximum(mu_next, opts.mu_min)
+            mu_changed = mu_next < mu
 
         # the filter belongs to one barrier subproblem: reset it when mu drops
-        mu_changed = mu_next < mu
+        # and after a restoration step (fresh filter for the restored point)
+        refresh = mu_changed | did_restore
         fresh_th, fresh_ph = _fresh_filter()
-        filt_th_n = jnp.where(mu_changed, fresh_th, filt_th_n)
-        filt_ph_n = jnp.where(mu_changed, fresh_ph, filt_ph_n)
-        filt_n_n = jnp.where(mu_changed, jnp.asarray(1, jnp.int32), filt_n_n)
+        filt_th_n = jnp.where(refresh, fresh_th, filt_th_n)
+        filt_ph_n = jnp.where(refresh, fresh_ph, filt_ph_n)
+        filt_n_n = jnp.where(refresh, jnp.asarray(1, jnp.int32), filt_n_n)
 
         converged = err_0 <= opts.tol
         diverged = ~jnp.isfinite(err_0) | (jnp.max(jnp.abs(z_n)) > 1e20)
@@ -791,6 +975,11 @@ def ipm_solve(
         # transcription round-trip mode (reference max_iter=0 trick,
         # test/ci/test_initial_guess.jl:6–54): report the init as "solved"
         status = jnp.asarray(0, jnp.int32)
+
+    # honor_original_bounds: project the final point back inside the
+    # UNRELAXED box (the bound_relax_factor slack is an internal device)
+    z_out = jnp.clip(final.z, zl_orig, zu_orig)
+    final = final._replace(z=z_out)
 
     # unscale duals back to the user's problem: the scaled problem is
     # min s_f f s.t. s_c c, so lam_user = lam * s_c / s_f, bound duals / s_f

@@ -121,8 +121,12 @@ class DenseKKT:
         W, _ = data
         return 1.0 + jnp.max(jnp.abs(jnp.diagonal(W)))
 
-    def lsq_lambda(self, z, g, sf, sc):
-        """argmin_lam |g + J~^T lam| via (J~ J~^T + eps) lam = -J~ g."""
+    def lsq_lambda(self, z, g, sf, sc, Drow=None):
+        """argmin_lam |g + J~^T lam| via (J~ J~^T + D + eps) lam = -J~ g.
+        Optional Drow damps selected rows (the dual-refresh path damps
+        inequality rows so their multipliers stay with the slack duals)."""
         J = sc[:, None] * jax.jacfwd(self.c_user)(z)
         M = J @ J.T + 1e-8 * jnp.eye(self.nc, dtype=z.dtype)
+        if Drow is not None:
+            M = M + jnp.diag(Drow)
         return gj_solve(M, -(J @ g)[:, None])[:, 0]

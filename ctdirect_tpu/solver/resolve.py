@@ -126,6 +126,18 @@ def make_resolver(
             rbar_p = r_p + jnp.where(ineq, rbar_s / sigma_s, 0.0)
 
             dz, dlam = kkt.solve(data, sigma_z, Drow, delta_w, delta_c, rbar_z, rbar_p)
+
+            # rescue re-solve: a singular KKT (active-set flip mid-tick) gives
+            # a non-finite direction; retry once with heavy primal-dual
+            # regularization instead of freezing the iterate (VERDICT.md weak-4)
+            bad = ~(jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dlam)))
+
+            def resolve_reg(_):
+                return kkt.solve(
+                    data, sigma_z, Drow, 1e-4, 1e-6, rbar_z, rbar_p
+                )
+
+            dz, dlam = jax.lax.cond(bad, resolve_reg, lambda _: (dz, dlam), None)
             ds = jnp.where(ineq, (dlam - rbar_s) / sigma_s, 0.0)
             dwL = jnp.where(zlm, -(wL / gL) * dz - wL + mu / gL, 0.0)
             dwU = jnp.where(zum, (wU / gU) * dz - wU + mu / gU, 0.0)
@@ -160,9 +172,9 @@ def make_resolver(
                 yU=jnp.clip(yU + a_d * dyU, 0.0),
             )
 
-        st = state
-        for _ in range(iters):
-            st = one_step(st)
+        # scan (not Python unroll) over the K iterations: the traced body
+        # compiles ONCE, cutting tick compile time ~Kx (VERDICT.md item 6)
+        st = jax.lax.scan(lambda s, _: (one_step(s), None), state, None, length=iters)[0]
 
         # cheap exit diagnostics (no Ipopt scaling — raw inf norms)
         gL = _safe_gap(st.z, zl, zlm)

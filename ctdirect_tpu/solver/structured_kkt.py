@@ -272,8 +272,29 @@ class StructuredKKT:
     def diag_scale(self, data):
         return 1.0 + jnp.max(jnp.abs(jnp.diagonal(data["Hloc"], axis1=-2, axis2=-1)))
 
-    def lsq_lambda(self, z, g, sf, sc):
-        return None  # skip LS multiplier init on the structured path
+    def lsq_lambda(self, z, g, sf, sc, Drow=None):
+        """Least-squares multiplier init on the structured path: solving the
+        block system [I J~^T; J~ -(D + eps) I][dz; lam] = [-g; 0] yields
+        lam = -(J~ J~^T + D + eps)^-1 J~ g — the same estimate DenseKKT
+        computes (kkt.py), but in O(N) via the block-tridiagonal elimination.
+        The identity Hessian enters through sigma_z = 1; optional Drow damps
+        selected rows (dual refresh damps inequality rows)."""
+        dtype = z.dtype
+        nz = self.docp.nz
+        nc = self.docp.nc
+        data = self.prepare(z, jnp.zeros((nc,), dtype), jnp.asarray(0.0, dtype), sc)
+        blocks = self._assemble(
+            data,
+            jnp.ones((nz,), dtype),  # sigma_z = 1 -> unit Hessian block
+            jnp.zeros((nc,), dtype) if Drow is None else Drow,
+            jnp.asarray(0.0, dtype),
+            jnp.asarray(1e-8, dtype),  # eps regularization on the J J^T block
+            g,
+            jnp.zeros((nc,), dtype),
+        )
+        X, xb = _scan_solve(*blocks)
+        _, lam = self._unscatter(X, xb)
+        return lam
 
     # ------------------------------------------------------------------
     # assembly + solve

@@ -367,7 +367,17 @@ class DOCP:
         t = np.asarray(self.time_grid(V.v))
         h = t[1:] - t[:-1]
         X = np.asarray(V.X)
-        u_nodes = np.asarray(self.scheme.node_controls(V.U))
+        # control output grid (≙ DOCP_data.jl:560–605): with one control per
+        # step the node grid carries the node controls; with sub-controls
+        # (control_steps>1 direct shooting) or stagewise IRK stage controls,
+        # EVERY stored control goes out on its own fine time grid so no
+        # information the user paid for is discarded.
+        if self.cs > 1:
+            control_grid = np.asarray(self.scheme.control_times(t, h)).ravel()
+            u_out = np.asarray(V.U).reshape(self.Nu * self.cs, self.m)
+        else:
+            control_grid = t
+            u_out = np.asarray(self.scheme.node_controls(V.U))
         P = lam[self.defect_row_indices()]  # (N, n)
 
         path_duals = None
@@ -382,9 +392,9 @@ class DOCP:
         return Solution(
             ocp=self.ocp,
             time_grid=t,
-            control_grid=t,
+            control_grid=control_grid,
             X=X,
-            U=u_nodes,
+            U=u_out,
             P=P,
             v=np.asarray(V.v),
             objective=float(self.objective(jnp.asarray(z))),
