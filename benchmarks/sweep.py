@@ -35,7 +35,7 @@ EASY_SET = [
 ]
 
 
-def run_sweep(problems, grids, scheme, tol, max_iter, kkt):
+def run_sweep(problems, grids, scheme, tol, max_iter, kkt, warm=False):
     import jax
 
     from ctdirect_tpu import transcribe
@@ -57,17 +57,24 @@ def run_sweep(problems, grids, scheme, tol, max_iter, kkt):
                     prob.obj is None
                     or abs(sol.objective - prob.obj) <= 1e-2 * abs(prob.obj)
                 )
-                rows.append(
-                    dict(
-                        problem=name,
-                        N=N,
-                        ok=bool(ok),
-                        obj=float(sol.objective),
-                        ref=prob.obj,
-                        iters=sol.iterations,
-                        wall_s=round(wall, 3),
-                    )
+                row = dict(
+                    problem=name,
+                    N=N,
+                    ok=bool(ok),
+                    obj=float(sol.objective),
+                    ref=prob.obj,
+                    iters=sol.iterations,
+                    wall_s=round(wall, 3),
                 )
+                if warm:
+                    # second solve of the SAME compiled program, fresh cold
+                    # init: pure device execution time (the reference's CPU
+                    # numbers carry no JIT cost either — AD prep is reported
+                    # separately in AD_backend.md)
+                    t1 = time.time()
+                    sol2 = solve_docp(docp, init=prob.init, options=opts)
+                    row["warm_s"] = round(time.time() - t1, 3)
+                rows.append(row)
                 status = "ok " if ok else "FAIL"
             except Exception as e:  # noqa: BLE001 — keep sweeping (benchmark.jl:160–176)
                 wall = time.time() - t0
@@ -124,6 +131,8 @@ def main():
     ap.add_argument("--max-iter", type=int, default=500)
     ap.add_argument("--kkt", default="structured", choices=["dense", "structured", "cr"])
     ap.add_argument("--micro", action="store_true")
+    ap.add_argument("--warm", action="store_true",
+                    help="also time a second (compile-free) solve per cell")
     ap.add_argument("--json", default=None, help="write results to this path")
     args = ap.parse_args()
 
@@ -136,6 +145,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}", flush=True)
 
     grids = [int(g) for g in args.grids.split(",")]
@@ -144,11 +156,16 @@ def main():
     if args.micro:
         rows = run_micro(problems, grids[0], args.scheme)
     else:
-        rows = run_sweep(problems, grids, args.scheme, args.tol, args.max_iter, args.kkt)
+        rows = run_sweep(problems, grids, args.scheme, args.tol, args.max_iter,
+                         args.kkt, warm=args.warm)
         total = sum(r["wall_s"] for r in rows)
         nok = sum(1 for r in rows if r.get("ok"))
         print(f"\ntotal {total:.1f}s wall ({time.time()-t0:.1f}s incl compile), "
               f"{nok}/{len(rows)} ok", flush=True)
+        if args.warm:
+            for N in grids:
+                tw = sum(r.get("warm_s", 0.0) for r in rows if r["N"] == N)
+                print(f"warm suite total N={N}: {tw:.2f}s", flush=True)
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(rows, fh, indent=1)

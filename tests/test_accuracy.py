@@ -23,7 +23,9 @@ def _solve_paths(name, grid, scheme, paths, **opt_kw):
     docp = ct.transcribe(prob.ocp, grid_size=grid, scheme=scheme)
     sols = {}
     for mode in paths:
-        opts = IPMOptions(tol=1e-10, max_iter=800, kkt_mode=mode, **opt_kw)
+        kw = dict(tol=1e-10, max_iter=800)
+        kw.update(opt_kw)
+        opts = IPMOptions(kkt_mode=mode, **kw)
         sols[mode] = solve_docp(docp, init=prob.init, options=opts)
     return prob, sols
 
@@ -52,6 +54,11 @@ def test_control_match_1e4(name, grid, scheme, paths):
     kw = {}
     if name == "orbit_transfer":
         kw = dict(max_iter=2500)
+    elif name == "goddard":
+        # singular-arc problem: below ~1e-8 the KKT is numerically degenerate
+        # (the control is undetermined on the arc); 1e-8 is still 4 orders
+        # tighter than the 1e-4 bound being certified
+        kw = dict(tol=1e-8)
     prob, sols = _solve_paths(name, grid, scheme, paths, **kw)
     ref = sols[paths[0]]
     assert ref.successful, (name, ref.message)
