@@ -50,8 +50,15 @@ def main():
     prob = get_problem("double_integrator_minenergy")
     docp = transcribe(prob.ocp, grid_size=N, scheme="trapeze")
     algo = os.environ.get("BENCH_ALGO", "cr")
+    # BENCH_SOLVE_F32=1: mixed precision — f32 block solve inside an otherwise
+    # f64 tick (inexact Newton; see StructuredKKT.solve_dtype)
+    sdt = jnp.float32 if os.environ.get("BENCH_SOLVE_F32") == "1" else None
     ctrl = MPCController(
-        docp, x0_boundary_rows=[0, 1], resolve_iters=ITERS, kkt_algorithm=algo
+        docp,
+        x0_boundary_rows=[0, 1],
+        resolve_iters=ITERS,
+        kkt_algorithm=algo,
+        kkt_solve_dtype=sdt,
     )
 
     t0 = time.time()

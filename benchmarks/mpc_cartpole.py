@@ -14,6 +14,12 @@ Writes one JSON line to stdout; diagnostics to stderr.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import os

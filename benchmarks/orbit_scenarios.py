@@ -14,6 +14,12 @@ Usage: python benchmarks/orbit_scenarios.py [--cpu] [--batch 2048] [--n 500]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import os

@@ -4,6 +4,12 @@ truck_trailer, swimmer, GL2 on free-t0/tf Mayer. Run on CPU for a fast loop.
 Usage: python benchmarks/repro_fails.py [names...] [grid=N] [scheme='name'] [opt=val...]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import os, sys, time
 
 os.environ["JAX_PLATFORMS"] = "cpu"

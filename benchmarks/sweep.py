@@ -14,6 +14,12 @@ Ipopt/MUMPS CPU: 0.6 / 1.4 / 3.8 / 18.0 / 74.8 s at N=250/500/1000/2500/5000.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import sys
@@ -66,15 +72,21 @@ def run_sweep(problems, grids, scheme, tol, max_iter, kkt, warm=False):
                     iters=sol.iterations,
                     wall_s=round(wall, 3),
                 )
+                rows.append(row)
                 if warm:
                     # second solve of the SAME compiled program, fresh cold
                     # init: pure device execution time (the reference's CPU
                     # numbers carry no JIT cost either — AD prep is reported
-                    # separately in AD_backend.md)
-                    t1 = time.time()
-                    sol2 = solve_docp(docp, init=prob.init, options=opts)
-                    row["warm_s"] = round(time.time() - t1, 3)
-                rows.append(row)
+                    # separately in AD_backend.md). Separate try so a warm
+                    # failure can't discard the committed cold row.
+                    try:
+                        t1 = time.time()
+                        sol2 = solve_docp(docp, init=prob.init, options=opts)
+                        row["warm_s"] = round(time.time() - t1, 3)
+                        row["warm_ok"] = bool(sol2.successful)
+                    except Exception as e:  # noqa: BLE001
+                        row["warm_ok"] = False
+                        row["warm_error"] = str(e)[:120]
                 status = "ok " if ok else "FAIL"
             except Exception as e:  # noqa: BLE001 — keep sweeping (benchmark.jl:160–176)
                 wall = time.time() - t0
@@ -133,20 +145,27 @@ def main():
     ap.add_argument("--micro", action="store_true")
     ap.add_argument("--warm", action="store_true",
                     help="also time a second (compile-free) solve per cell")
+    ap.add_argument("--persist-cache", action="store_true",
+                    help="enable the on-disk JAX compilation cache (makes cold "
+                         "wall_s non-reproducible across invocations; use the "
+                         "warm_s column for compile-free numbers)")
     ap.add_argument("--json", default=None, help="write results to this path")
     args = ap.parse_args()
 
-    if args.cpu:
-        import os
+    import os
 
+    if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if args.persist_cache:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}", flush=True)
 

@@ -16,6 +16,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ctdirect_tpu.solver.ipm import IPMOptions, ipm_solve, make_spec
 from ctdirect_tpu.solver.resolve import WarmState, make_resolver, warm_state_from_result
@@ -67,11 +68,14 @@ class MPCController:
         mu: float = 1e-6,
         shift: bool = True,
         kkt_algorithm: str = "scan",
+        kkt_solve_dtype=None,
+        mesh: Optional[Mesh] = None,
+        batch_axis: str = "batch",
     ):
         self.docp = docp
         self.shift = shift
         spec = make_spec(docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
-        kkt = StructuredKKT(docp, algorithm=kkt_algorithm)
+        kkt = StructuredKKT(docp, algorithm=kkt_algorithm, solve_dtype=kkt_solve_dtype)
         resolve = make_resolver(
             docp.nlp_objective,
             docp.constraints,
@@ -96,7 +100,23 @@ class MPCController:
             u0 = docp.scheme.node_controls(V.U)[0]
             return res.state, u0, res.kkt_error, res.constraints_violation
 
-        self._tick = jax.jit(jax.vmap(tick))
+        vtick = jax.vmap(tick)
+        if mesh is not None:
+            # shard the batch (data-parallel) axis over the mesh: the resolve
+            # is embarrassingly parallel across instances, so XLA partitions
+            # the whole tick with zero collectives on the hot path
+            sharding = NamedSharding(mesh, P(batch_axis))
+
+            def sharded_tick(st, x0):
+                st = jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(a, sharding), st
+                )
+                x0 = jax.lax.with_sharding_constraint(x0, sharding)
+                return vtick(st, x0)
+
+            self._tick = jax.jit(sharded_tick)
+        else:
+            self._tick = jax.jit(vtick)
 
     def __call__(self, states, x0_batch):
         """Advance all controllers one tick. states: batched WarmState;

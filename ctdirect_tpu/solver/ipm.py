@@ -441,7 +441,13 @@ def ipm_solve(
                 avg, 1e-300
             )
             sigma_c = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / jnp.maximum(xi, 1e-12), 2.0) ** 3
-            mu = jnp.clip(sigma_c * avg, opts.mu_min, opts.mu_init)
+            # rate-limit the decrease (factor 100/iter): the raw LOQO rule can
+            # crash mu 1e-5 -> 1e-12 in one step when momentarily centered,
+            # which slams the next iterate onto the boundary (inf barrier,
+            # spurious divergence — observed on goddard N=200 GL2cc)
+            mu = jnp.clip(
+                sigma_c * avg, jnp.maximum(opts.mu_min, 1e-2 * mu), opts.mu_init
+            )
 
         sigma_z = jnp.where(zlm, wL / gL, 0.0) + jnp.where(zum, wU / gU, 0.0)
         sigma_s = jnp.where(slm, yL / sgL, 0.0) + jnp.where(sum_, yU / sgU, 0.0)
@@ -844,6 +850,22 @@ def ipm_solve(
         # ---- convergence & barrier update ----
         err_mu, _ = kkt_error(z_n, s_n, lam_n, wL_n, wU_n, yL_n, yU_n, mu)
         err_0, viol = kkt_error(z_n, s_n, lam_n, wL_n, wU_n, yL_n, yU_n, 0.0)
+
+        # a non-finite TRIAL point (objective/constraints inf at a
+        # near-boundary step) is a failed iteration, not divergence: revert to
+        # the previous iterate and let soft_fail/restoration machinery act.
+        # True divergence is detected on the iterate norm below.
+        bad_new = ~jnp.isfinite(err_0)
+        z_n = jnp.where(bad_new, z, z_n)
+        s_n = jnp.where(bad_new, s, s_n)
+        lam_n = jnp.where(bad_new, lam, lam_n)
+        wL_n = jnp.where(bad_new, wL, wL_n)
+        wU_n = jnp.where(bad_new, wU, wU_n)
+        yL_n = jnp.where(bad_new, yL, yL_n)
+        yU_n = jnp.where(bad_new, yU, yU_n)
+        err_0 = jnp.where(bad_new, carry.kkt_err, err_0)
+        err_mu = jnp.where(bad_new, jnp.inf, err_mu)  # no barrier decrease
+        soft_fails = jnp.where(bad_new, carry.soft_fails + 1, soft_fails)
 
         if opts.mu_strategy == "adaptive" and n_compl > 0:
             # adaptive mode recomputes mu from complementarity at the top of

@@ -125,19 +125,15 @@ def make_resolver(
             r_p = primal_residual(z, s)
             rbar_p = r_p + jnp.where(ineq, rbar_s / sigma_s, 0.0)
 
+            # NOTE on singular KKT (active-set flip mid-tick): a per-iteration
+            # rescue re-solve under lax.cond was tried in round 2 and REGRESSED
+            # the tick 5.5x — under vmap, cond lowers to select and BOTH
+            # branches run for every instance, so every tick paid two CR
+            # solves/iteration for an event rare by construction. The hot path
+            # stays at ONE solve/iteration; non-finite directions freeze the
+            # iterate (below), and callers needing extra robustness raise
+            # delta_w/delta_c (an always-on floor costs nothing).
             dz, dlam = kkt.solve(data, sigma_z, Drow, delta_w, delta_c, rbar_z, rbar_p)
-
-            # rescue re-solve: a singular KKT (active-set flip mid-tick) gives
-            # a non-finite direction; retry once with heavy primal-dual
-            # regularization instead of freezing the iterate (VERDICT.md weak-4)
-            bad = ~(jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(dlam)))
-
-            def resolve_reg(_):
-                return kkt.solve(
-                    data, sigma_z, Drow, 1e-4, 1e-6, rbar_z, rbar_p
-                )
-
-            dz, dlam = jax.lax.cond(bad, resolve_reg, lambda _: (dz, dlam), None)
             ds = jnp.where(ineq, (dlam - rbar_s) / sigma_s, 0.0)
             dwL = jnp.where(zlm, -(wL / gL) * dz - wL + mu / gL, 0.0)
             dwU = jnp.where(zum, (wU / gU) * dz - wU + mu / gU, 0.0)
@@ -172,9 +168,13 @@ def make_resolver(
                 yU=jnp.clip(yU + a_d * dyU, 0.0),
             )
 
-        # scan (not Python unroll) over the K iterations: the traced body
-        # compiles ONCE, cutting tick compile time ~Kx (VERDICT.md item 6)
-        st = jax.lax.scan(lambda s, _: (one_step(s), None), state, None, length=iters)[0]
+        # Python unroll (NOT lax.scan): measured in round 2, scan blocked
+        # cross-iteration fusion/layout hoisting around the lane-minor
+        # custom_vmap KKT solve (31.6 -> 172 ms/tick) and compile time even
+        # rose (263 -> 317 s). Unroll is faster AND no worse to compile.
+        st = state
+        for _ in range(iters):
+            st = one_step(st)
 
         # cheap exit diagnostics (no Ipopt scaling — raw inf norms)
         gL = _safe_gap(st.z, zl, zlm)

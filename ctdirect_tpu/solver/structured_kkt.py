@@ -58,13 +58,21 @@ class StructuredKKT:
     """KKT operator exploiting the DOCP's step structure (see solver/kkt.py
     for the operator protocol)."""
 
-    def __init__(self, docp: DOCP, algorithm: str = "scan"):
+    def __init__(self, docp: DOCP, algorithm: str = "scan", solve_dtype=None):
         """algorithm: "scan" (sequential block elimination, O(N) depth) or
         "cr" (block cyclic reduction, O(log N) depth — the latency-optimal
-        choice on TPU and the basis of the time-axis-sharded solver)."""
+        choice on TPU and the basis of the time-axis-sharded solver).
+
+        solve_dtype: optional lower precision (jnp.float32) for the BLOCK
+        SOLVE only — assembly, residuals and the applied step stay f64, so
+        this is inexact Newton with relative direction error eta ~ cond*1e-7:
+        each outer iteration still contracts the KKT error by ~eta, and f32
+        arithmetic is native on TPU while f64 is software-emulated (see
+        docs/tpu.md). Leave None for full-precision directions."""
         if algorithm not in ("scan", "cr"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
         self.algorithm = algorithm
+        self.solve_dtype = solve_dtype
         self.docp = docp
         d = _Dims(
             N=docp.N,
@@ -301,6 +309,11 @@ class StructuredKKT:
     # ------------------------------------------------------------------
     def solve(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
         blocks = self._assemble(data, sigma_z, Drow, delta_w, delta_c, rz, rp)
+        out_dtype = rz.dtype
+        if self.solve_dtype is not None:
+            # mixed precision: factor+solve in solve_dtype (f32 native on TPU),
+            # everything around it stays f64 — see __init__ docstring
+            blocks = tuple(b.astype(self.solve_dtype) for b in blocks)
         if self.algorithm == "cr":
             # custom_vmap wrapper: un-batched -> _cr_solve; under vmap -> the
             # lane-minor engine (solver/lanes.py), which keeps the batch axis
@@ -310,6 +323,9 @@ class StructuredKKT:
             X, xb = cr_solve(*blocks)
         else:
             X, xb = _scan_solve(*blocks)
+        if self.solve_dtype is not None:
+            X = X.astype(out_dtype)
+            xb = xb.astype(out_dtype)
         return self._unscatter(X, xb)
 
     def _assemble(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):

@@ -345,6 +345,20 @@ class DOCP:
         start = self.N * self.cw + self.n_path
         return start + np.arange(self.n_boundary)
 
+    def control_col_indices(self) -> np.ndarray:
+        """Flat z-indices of every control entry (all steps, all sub-controls,
+        plus the tail node control for u-at-nodes schemes) — e.g. to batch
+        per-instance actuator limits through zl/zu (BASELINE config 4)."""
+        cols = (
+            np.arange(self.N)[:, None] * self.bw
+            + self.n
+            + np.arange(self.cs * self.m)[None, :]
+        ).ravel()
+        if self.scheme.u_at_nodes:
+            tail = self.N * self.bw + self.n + np.arange(self.m)
+            cols = np.concatenate([cols, tail])
+        return cols
+
     # ------------------------------------------------------------------
     # solution building (≙ build_OCP_solution, DOCP_data.jl:514–633)
     # ------------------------------------------------------------------

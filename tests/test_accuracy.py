@@ -4,10 +4,14 @@ equal grid/horizon"; ≙ reference test/ci/test_modeler_solver.jl:50–89).
 Without Ipopt in this environment, the 1e-4 bound is certified by agreement of
 INDEPENDENT solver paths on the SAME discrete NLP: the dense-KKT oracle
 (LAPACK-style dense factorization), the structured block-tridiagonal scan, and
-the cyclic-reduction engine all solve the identical DOCP to tol 1e-10 and must
-produce the same discrete optimum — any solver-side control error > 1e-4 would
-break the cross-check. The analytic double-integrator check then ties the
-discrete optimum to the continuous one (test_modeler_solver.jl:50–89)."""
+the cyclic-reduction engine all solve the identical DOCP to a tight tolerance
+(1e-10; goddard uses 1e-8 because its singular arc makes the KKT numerically
+degenerate below that) and must produce the same discrete optimum — any
+solver-side control error > 1e-4 would break the cross-check. The objective
+agreement bound scales with the tolerance in use (10x tol: two independently
+converged paths can legitimately differ by ~2x tol). The analytic
+double-integrator check then ties the discrete optimum to the continuous one
+(test_modeler_solver.jl:50–89)."""
 
 import numpy as np
 import pytest
@@ -57,9 +61,12 @@ def test_control_match_1e4(name, grid, scheme, paths):
     elif name == "goddard":
         # singular-arc problem: below ~1e-8 the KKT is numerically degenerate
         # (the control is undetermined on the arc); 1e-8 is still 4 orders
-        # tighter than the 1e-4 bound being certified
-        kw = dict(tol=1e-8)
+        # tighter than the 1e-4 bound being certified. Adaptive (LOQO) mu:
+        # the monotone schedule stalls on the arc at N=200 (obj 1.0064 at 2000
+        # iters), adaptive converges in ~56 (r3 IPM robustness fixes).
+        kw = dict(tol=1e-8, mu_strategy="adaptive")
     prob, sols = _solve_paths(name, grid, scheme, paths, **kw)
+    tol_used = kw.get("tol", 1e-10)
     ref = sols[paths[0]]
     assert ref.successful, (name, ref.message)
     for mode in paths[1:]:
@@ -68,7 +75,7 @@ def test_control_match_1e4(name, grid, scheme, paths):
         du = np.max(np.abs(ref.control_values - s.control_values))
         dobj = abs(ref.objective - s.objective) / max(1.0, abs(ref.objective))
         assert du <= 1e-4, (name, mode, du)
-        assert dobj <= 1e-8, (name, mode, dobj)
+        assert dobj <= 10 * tol_used, (name, mode, dobj)
 
 
 def test_double_integrator_analytic_controls():
