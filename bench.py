@@ -50,15 +50,20 @@ def main():
     prob = get_problem("double_integrator_minenergy")
     docp = transcribe(prob.ocp, grid_size=N, scheme="trapeze")
     algo = os.environ.get("BENCH_ALGO", "cr")
-    # BENCH_SOLVE_F32=1: mixed precision — f32 block solve inside an otherwise
-    # f64 tick (inexact Newton; see StructuredKKT.solve_dtype)
-    sdt = jnp.float32 if os.environ.get("BENCH_SOLVE_F32") == "1" else None
+    # Mixed precision is the DEFAULT: f32 block solve inside an otherwise-f64
+    # tick (inexact Newton; StructuredKKT.solve_dtype). Measured r3 on v5e:
+    # 3.90 ms/tick (131k solves/s) at kkt 2.9e-14 vs 30.47 ms full-f64 — the
+    # resulting KKT error is identical to machine level because the f64
+    # residual contracts by the f32 direction error every iteration.
+    # BENCH_SOLVE_F32=0 forces the full-f64 solve path.
+    sdt = None if os.environ.get("BENCH_SOLVE_F32") == "0" else jnp.float32
     ctrl = MPCController(
         docp,
         x0_boundary_rows=[0, 1],
         resolve_iters=ITERS,
         kkt_algorithm=algo,
         kkt_solve_dtype=sdt,
+        resolve_loop=os.environ.get("BENCH_LOOP", "unroll"),
     )
 
     t0 = time.time()
@@ -118,6 +123,8 @@ def main():
                 "achieved_gbps": round(stats.get("gbps", 0.0), 1),
                 "tick_compile_s": round(tick_compile_s, 1),
                 "cold_start_s": round(cold_s, 1),
+                "kkt_solve_dtype": "f32" if sdt is not None else "f64",
+                "kkt_max": kkt_max,
             }
         )
     )

@@ -69,6 +69,7 @@ class MPCController:
         shift: bool = True,
         kkt_algorithm: str = "scan",
         kkt_solve_dtype=None,
+        resolve_loop: str = "unroll",
         mesh: Optional[Mesh] = None,
         batch_axis: str = "batch",
     ):
@@ -83,6 +84,7 @@ class MPCController:
             kkt,
             iters=resolve_iters,
             mu=mu,
+            loop=resolve_loop,
         )
         rows = docp.boundary_row_indices()[np.asarray(x0_boundary_rows)]
         cl0 = jnp.asarray(docp._c_lb)

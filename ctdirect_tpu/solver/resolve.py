@@ -73,6 +73,7 @@ def make_resolver(
     delta_w: float = 1e-8,
     delta_c: float = 1e-8,
     tau: float = 0.99,
+    loop: str = "unroll",
 ):
     """Build resolve(state, zl, zu, cl, cu) -> ResolveResult.
 
@@ -168,13 +169,17 @@ def make_resolver(
                 yU=jnp.clip(yU + a_d * dyU, 0.0),
             )
 
-        # Python unroll (NOT lax.scan): measured in round 2, scan blocked
-        # cross-iteration fusion/layout hoisting around the lane-minor
-        # custom_vmap KKT solve (31.6 -> 172 ms/tick) and compile time even
-        # rose (263 -> 317 s). Unroll is faster AND no worse to compile.
-        st = state
-        for _ in range(iters):
-            st = one_step(st)
+        # Python unroll by default; loop="scan" is kept as a measurable
+        # variant (round 2 changed scan + rescue-cond together and regressed
+        # 5.5x — the clean A/B lives in the bench via BENCH_LOOP=scan).
+        if loop == "scan":
+            st = jax.lax.scan(
+                lambda s, _: (one_step(s), None), state, None, length=iters
+            )[0]
+        else:
+            st = state
+            for _ in range(iters):
+                st = one_step(st)
 
         # cheap exit diagnostics (no Ipopt scaling — raw inf norms)
         gL = _safe_gap(st.z, zl, zlm)

@@ -47,9 +47,17 @@ def _solve_paths(name, grid, scheme, paths, **opt_kw):
         # reference 1.01257 in ~115 iterations). N kept CI-sized for the dense
         # oracle; structured-vs-cr also runs at N=200.
         ("goddard", 60, "gauss_legendre_2_constant_control", ["dense", "structured", "cr"]),
-        ("goddard", 200, "gauss_legendre_2_constant_control", ["structured", "cr"]),
+        pytest.param(
+            "goddard",
+            200,
+            "gauss_legendre_2_constant_control",
+            ["structured", "cr"],
+            marks=pytest.mark.slow,
+        ),
         # BASELINE config 4: orbit transfer (fuel-min, free tf), midpoint
-        ("orbit_transfer", 120, "midpoint", ["structured", "cr"]),
+        pytest.param(
+            "orbit_transfer", 120, "midpoint", ["structured", "cr"], marks=pytest.mark.slow
+        ),
     ],
 )
 def test_control_match_1e4(name, grid, scheme, paths):
