@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--algo", default="cr")
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument(
+        "--solve-f32",
+        action="store_true",
+        help="mixed precision: f32 block solve inside the f64 tick "
+        "(the headline-bench default, StructuredKKT.solve_dtype)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -54,11 +60,16 @@ def main():
 
     prob = get_problem("double_integrator_minenergy")
     docp = transcribe(prob.ocp, grid_size=args.n, scheme="trapeze")
-    kkt = sk.StructuredKKT(docp, algorithm=args.algo)
+    sdt = jnp.float32 if args.solve_f32 else None
+    kkt = sk.StructuredKKT(docp, algorithm=args.algo, solve_dtype=sdt)
     B = args.b
 
     ctrl = MPCController(
-        docp, x0_boundary_rows=[0, 1], resolve_iters=3, kkt_algorithm=args.algo
+        docp,
+        x0_boundary_rows=[0, 1],
+        resolve_iters=3,
+        kkt_algorithm=args.algo,
+        kkt_solve_dtype=sdt,
     )
     warm = ctrl.cold_start(options=IPMOptions(tol=1e-8, max_iter=60))
     states = broadcast_state(warm, B)
@@ -96,8 +107,13 @@ def main():
     )
     blocks, t_asm = bench("assemble", asm1, data, sigma_z, Drow, rz, rp)
 
-    # ---- stage 3: block solve ----
-    solver_fn = sk._cr_solve if args.algo == "cr" else sk._scan_solve
+    # ---- stage 3: block solve (same dispatch as the tick: the custom_vmap
+    # cr_solve routes to the lane-minor engine under vmap; scan stays plain) ----
+    from ctdirect_tpu.solver.lanes import cr_solve
+
+    solver_fn = cr_solve if args.algo == "cr" else sk._scan_solve
+    if sdt is not None:
+        blocks = tuple(b.astype(sdt) for b in blocks)
     sol1 = jax.jit(jax.vmap(lambda A, Bb, E, F, r, rb: solver_fn(A, Bb, E, F, r, rb)))
     _, t_sol = bench("solve", sol1, *blocks)
 

@@ -83,10 +83,15 @@ def orbit_transfer() -> Problem:
     against the impulsive Hohmann lower bound (integral |u| dt >= 0.1816),
     which no smoothing artifact can undershoot (tests/test_all_ocp.py).
 
-    Stored objective: smoothed-fuel optimum at the tf=11 deadline, computed by
-    the dense-KKT oracle at N=240 and N=300 trapeze (tol 1e-10, agreement
-    2e-5) and reproduced by the structured scan and cyclic-reduction paths
-    (tests/test_accuracy.py) — see benchmarks/recompute_oracles.py."""
+    Stored objective: smoothed-fuel optimum at the tf=11 deadline, certified
+    by SIX independent cells (benchmarks/recompute_oracles.py, committed as
+    ORACLES_r03.json): dense N=120/160 midpoint (0.172618 / 0.172430),
+    structured N=120/300 midpoint (0.172618 / 0.172258), cr N=300 midpoint
+    (0.172258, agrees with scan to 4e-14), trapeze N=300 structured
+    (0.172010) — all Solve_Succeeded at tf = 11.0 with unsmoothed fuel
+    integral 0.1823–0.1829 (Hohmann bound 0.1816 respected). The stored value
+    is the N=300 cross-path figure; the rtol-1e-2 suite oracle covers every
+    cell and the continuum extrapolation (~0.1721)."""
     mu = 1.0
     rf = 1.5
     tmax = 0.1
@@ -152,7 +157,7 @@ def orbit_transfer() -> Problem:
         ]
 
     init = InitialGuess(state=state0, control=[0.0, 0.02], variable=[tfi])
-    return Problem(pre.build(), 0.19157, "orbit_transfer", init=init)
+    return Problem(pre.build(), 0.172258, "orbit_transfer", init=init)
 
 
 @register

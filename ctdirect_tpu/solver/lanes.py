@@ -185,6 +185,33 @@ def cr_solve(A, B_, E, F, r, rb):
     return _cr_solve(A, B_, E, F, r, rb)
 
 
+def _use_pallas(dtype, P, bs, wb, B):
+    """Dispatch policy for the whole-CR Pallas kernel (solver/pallas_cr.py):
+    CTDIRECT_TPU_PALLAS=1 forces it, =0 disables, unset/auto enables it on TPU
+    backends for f32 chains inside the VMEM envelope (the mixed-precision
+    solve path — exactly the headline-bench configuration)."""
+    import os
+
+    from ctdirect_tpu.solver.pallas_cr import LANE_CHUNK, fits_vmem
+
+    flag = os.environ.get("CTDIRECT_TPU_PALLAS", "0").lower()
+    if flag in ("0", "off", "false"):
+        return False
+    eligible = (
+        dtype == jnp.float32
+        and B % min(LANE_CHUNK, B) == 0
+        and fits_vmem(P, bs, wb, min(LANE_CHUNK, B))
+    )
+    if flag in ("1", "on", "true"):
+        return eligible
+    # "auto": on for TPU backends only
+    try:
+        backend = jax.default_backend()
+    except Exception:  # noqa: BLE001
+        return False
+    return eligible and backend not in ("cpu",)
+
+
 @cr_solve.def_vmap
 def _cr_solve_vmap(axis_size, in_batched, A, B_, E, F, r, rb):
     # move any batched leading axis to the LAST (lane) position; broadcast
@@ -200,7 +227,14 @@ def _cr_solve_vmap(axis_size, in_batched, A, B_, E, F, r, rb):
     ]
     N = args[0].shape[0]
     Ax, Bx, Ex, rx = _pad_pow2_lanes(args[0], args[1], args[2], args[4])
-    X, xb = cr_solve_lanes(Ax, Bx, Ex, args[3], rx, args[5])
+    P, bs = Ax.shape[0], Ax.shape[1]
+    wb = Ex.shape[-2]
+    if _use_pallas(Ax.dtype, P, bs, wb, axis_size):
+        from ctdirect_tpu.solver.pallas_cr import cr_solve_lanes_pallas
+
+        X, xb = cr_solve_lanes_pallas(Ax, Bx, Ex, args[3], rx, args[5])
+    else:
+        X, xb = cr_solve_lanes(Ax, Bx, Ex, args[3], rx, args[5])
     X = jnp.moveaxis(X[:N], -1, 0)
     xb = jnp.moveaxis(xb, -1, 0)
     return (X, xb), (True, True)
