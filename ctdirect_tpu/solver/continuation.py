@@ -40,3 +40,43 @@ def continuation(
         sols.append(sol)
         guess = InitialGuess.from_solution(sol)
     return sols
+
+
+def grid_continuation(
+    ocp,
+    grids: Iterable[int],
+    scheme: str = "trapeze",
+    options: IPMOptions = IPMOptions(),
+    warm_options: Optional[IPMOptions] = None,
+    init: Optional[InitialGuess] = None,
+    display: bool = False,
+) -> List[Solution]:
+    """Coarse-to-fine mesh refinement: solve the SAME ocp on grids[0], then
+    warm-start each finer grid from the previous solution (the Solution's
+    functional t->x,u,p accessors resample onto the new grid).
+
+    This is the standard rescue for degenerate fixtures that stall when solved
+    cold on a fine grid (e.g. the Purcell swimmer and the truck-trailer
+    jackknife park): the coarse problem is far better conditioned, and the
+    warm fine solve then converges in a handful of iterations (measured:
+    swimmer N=60 cold 634 it -> warm N=120 Solve_Succeeded in 24 it,
+    benchmarks/swimmer_lab.py). The reference reaches these fixtures through
+    Ipopt's restoration phase instead (test/ci/test_all_ocp.jl:83,123); mesh
+    refinement is the same practice the reference documents for hard problems
+    via warm start (test/ci/test_initial_guess.jl:188-266).
+
+    warm_options, when given, is used for every stage after the first (e.g. a
+    cooler barrier: options.replace(mu_init=1e-4) — re-heating mu to 0.1 on a
+    near-optimal warm point discards most of its value). Returns the list of
+    Solutions, finest last."""
+    sols: List[Solution] = []
+    guess = init
+    for k, n in enumerate(grids):
+        docp = transcribe(ocp, grid_size=int(n), scheme=scheme)
+        opts = options if (k == 0 or warm_options is None) else warm_options
+        sol = solve_docp(docp, init=guess, options=opts)
+        if display:
+            print(f"grid_continuation N={n}: {sol}")
+        sols.append(sol)
+        guess = InitialGuess.from_solution(sol)
+    return sols

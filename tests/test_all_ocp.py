@@ -17,10 +17,17 @@ from ctdirect_tpu.solver.ipm import IPMOptions
 
 
 class Cfg:
-    def __init__(self, grid=100, scheme="trapeze", rtol=1e-2, **opts):
+    def __init__(self, grid=100, scheme="trapeze", rtol=1e-2, pre_grids=(),
+                 warm_mu=None, **opts):
         self.grid = grid
         self.scheme = scheme
         self.rtol = rtol
+        # coarse-to-fine mesh-refinement stages before the final grid
+        # (solver.grid_continuation); the degenerate fixtures stall cold on a
+        # fine grid but truly converge through refinement — measured in
+        # benchmarks/swimmer_lab.py / truck_lab.py
+        self.pre_grids = list(pre_grids)
+        self.warm_mu = warm_mu
         self.opts = dict(tol=1e-6, max_iter=600)
         self.opts.update(opts)
 
@@ -43,8 +50,12 @@ CONFIG = {
     "orbit_transfer": Cfg(grid=300, max_iter=2000),
     "cartpole": Cfg(grid=150),
     "truck_trailer": Cfg(grid=200, max_iter=2000),
-    "swimmer": Cfg(grid=120, max_iter=1500),
-    "swimmer2": Cfg(grid=120, max_iter=1500),
+    # swimmer stalls cold at N=120 (max-iter at obj 0.948) but truly converges
+    # through mesh refinement: N=60 cold (634 it) -> warm N=120
+    # Solve_Succeeded in 24 it at obj 0.9947 >= ref 0.9843
+    # (benchmarks/swimmer_lab.py cells coarse60/warm120-from60)
+    "swimmer": Cfg(grid=120, pre_grids=[60], max_iter=1500),
+    "swimmer2": Cfg(grid=120, pre_grids=[60], max_iter=1500),
 }
 
 # `pattern` is a sparsity-visualization dummy in the reference (SURVEY.md §4);
@@ -83,8 +94,23 @@ def _fuel_integral(sol):
 def test_solve_fixture(name):
     cfg = CONFIG.get(name, Cfg())
     prob = get_problem(name)
-    docp = ct.transcribe(prob.ocp, grid_size=cfg.grid, scheme=cfg.scheme)
-    sol = solve_docp(docp, init=prob.init, options=IPMOptions(**cfg.opts))
+    opts = IPMOptions(**cfg.opts)
+    if cfg.pre_grids:
+        from ctdirect_tpu.solver import grid_continuation
+
+        warm_opts = opts if cfg.warm_mu is None else opts.replace(mu_init=cfg.warm_mu)
+        sols = grid_continuation(
+            prob.ocp,
+            cfg.pre_grids + [cfg.grid],
+            scheme=cfg.scheme,
+            options=opts,
+            warm_options=warm_opts,
+            init=prob.init,
+        )
+        sol = sols[-1]
+    else:
+        docp = ct.transcribe(prob.ocp, grid_size=cfg.grid, scheme=cfg.scheme)
+        sol = solve_docp(docp, init=prob.init, options=opts)
     if name == "orbit_transfer":
         # physical oracle no smoothing artifact can undershoot: the impulsive
         # Hohmann transfer bounds the true fuel integral below (Δv = 0.1816
