@@ -49,7 +49,15 @@ CONFIG = {
     "goddard_all": Cfg(grid=150),
     "orbit_transfer": Cfg(grid=300, max_iter=2000),
     "cartpole": Cfg(grid=150),
-    "truck_trailer": Cfg(grid=200, max_iter=2000),
+    # truck_trailer (min-time jackknife park) is degenerate on fine grids: at
+    # N>=100 every config stalls at viol ~1e-6..1e-5 wandering a flat valley
+    # (obj 55.3-55.8) without formal KKT success; N=50 trapeze TRULY converges
+    # (Solve_Succeeded, 316 it, viol 8e-9, obj 55.948 — 5.6% better than the
+    # reference's 59.28). A GL2 N=100 cell "converges" to 38.5 but does NOT
+    # survive refinement onto trapeze N=200/400 (snaps back to ~55.x) — it is
+    # under-resolved inter-node corner-cutting, rejected as an oracle.
+    # Evidence: benchmarks/truck_lab.py + the refinement study in r3 notes.
+    "truck_trailer": Cfg(grid=50, max_iter=2000),
     # swimmer stalls cold at N=120 (max-iter at obj 0.948) but truly converges
     # through mesh refinement: N=60 cold (634 it) -> warm N=120
     # Solve_Succeeded in 24 it at obj 0.9947 >= ref 0.9843
@@ -63,20 +71,15 @@ CONFIG = {
 SKIP = {"pattern"}
 
 # multi-modal problems where this solver provably reaches a DIFFERENT (better)
-# local optimum than the reference's Ipopt run: accept feasible solutions at
-# least as good as the stored reference objective (still within 30% so a
-# formulation bug can't hide behind "better").
+# local optimum than the reference's Ipopt run, with FULL KKT success (no
+# feasibility-only escape): accept objectives at least as good as the stored
+# reference, within a tight 10% band so a formulation bug can't hide behind
+# "better". Measured: swimmer 0.9947 vs ref 0.9843 (+1.1%), truck_trailer
+# 55.948 vs ref 59.28 (-5.6%).
 BETTER_OK = {"truck_trailer", "swimmer", "swimmer2"}
+BETTER_BAND = 0.10
 
 ALL = [n for n in problem_names() if n not in SKIP]
-
-
-# truck_trailer converges to feasibility (viol ~1e-5) at an objective BETTER
-# than the reference's 59.28, but then oscillates around the degenerate
-# optimum without meeting the formal KKT tolerance (the reference's Ipopt has
-# the same character on this fixture — it needs :manual backend + relies on
-# restoration, test_all_ocp.jl:123). Accept feasibility + objective quality.
-FEASIBILITY_OK = {"truck_trailer": 1e-4}
 
 
 def _fuel_integral(sol):
@@ -119,21 +122,14 @@ def test_solve_fixture(name):
         # it above (dense-oracle N=120: obj 0.17262, fuel 0.18294)
         fuel = _fuel_integral(sol)
         assert 0.1816 <= fuel <= prob.obj + 1e-3 * 11.0 + 0.005, (fuel, prob.obj)
-    if name in FEASIBILITY_OK:
-        assert sol.constraints_violation <= FEASIBILITY_OK[name], (
-            name,
-            sol.message,
-            sol.constraints_violation,
-        )
-    else:
-        assert sol.successful, (name, sol.message, sol.objective)
+    assert sol.successful, (name, sol.message, sol.objective)
     if prob.obj is None:
         return
     if name in BETTER_OK:
         sense = -1.0 if prob.ocp.maximize else 1.0
         improvement = sense * (prob.obj - sol.objective)  # >= 0 when better
         assert improvement >= -cfg.rtol * abs(prob.obj), (name, sol.objective, prob.obj)
-        assert abs(sol.objective - prob.obj) <= 0.3 * abs(prob.obj), (
+        assert abs(sol.objective - prob.obj) <= BETTER_BAND * abs(prob.obj), (
             name,
             sol.objective,
             prob.obj,
