@@ -103,6 +103,12 @@ def main():
         with open(args.json, "w") as fh:
             json.dump(rows, fh, indent=1)
         print(f"wrote {args.json}")
+    # nonzero exit on any real-hardware Pallas/XLA disagreement so automation
+    # wrapping this check cannot report success on a numerical mismatch
+    bad = [r for r in rows if not r.get("skipped") and not r.get("agree")]
+    if bad:
+        print(f"FAIL: {len(bad)} row(s) disagree", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -50,6 +50,12 @@ class Solution:
         boundary_duals: Optional[np.ndarray] = None,  # (n_boundary,)
         lower_box_duals: Optional[np.ndarray] = None,  # flat, layout of z
         upper_box_duals: Optional[np.ndarray] = None,
+        state_box_duals_lower: Optional[np.ndarray] = None,  # (N+1, n)
+        state_box_duals_upper: Optional[np.ndarray] = None,
+        control_box_duals_lower: Optional[np.ndarray] = None,  # (Nc, m)
+        control_box_duals_upper: Optional[np.ndarray] = None,
+        variable_box_duals_lower: Optional[np.ndarray] = None,  # (q,)
+        variable_box_duals_upper: Optional[np.ndarray] = None,
         infos: Optional[dict] = None,
     ):
         self.ocp = ocp
@@ -74,6 +80,15 @@ class Solution:
         self.boundary_duals = boundary_duals
         self.lower_box_duals = lower_box_duals
         self.upper_box_duals = upper_box_duals
+        # per-group box-multiplier views (≙ the reference Solution's per-node
+        # state/control/variable bound-multiplier components,
+        # DOCP_data.jl:521–560); grid arrays + functional accessors below
+        self.state_box_duals_lower = state_box_duals_lower
+        self.state_box_duals_upper = state_box_duals_upper
+        self.control_box_duals_lower = control_box_duals_lower
+        self.control_box_duals_upper = control_box_duals_upper
+        self.variable_box_duals_lower = variable_box_duals_lower
+        self.variable_box_duals_upper = variable_box_duals_upper
         self.infos = infos or {}
 
     # ---- dims ----
@@ -104,6 +119,26 @@ class Solution:
 
     def costate(self, t):
         return _interp(t, self.time_grid[: len(self._P)], self._P)
+
+    def state_box_duals(self, t):
+        """(lower, upper) state bound multipliers at time t, each (n,) —
+        positive where the corresponding box bound is active."""
+        return (
+            _interp(t, self.time_grid, self.state_box_duals_lower),
+            _interp(t, self.time_grid, self.state_box_duals_upper),
+        )
+
+    def control_box_duals(self, t):
+        """(lower, upper) control bound multipliers at time t, each (m,)."""
+        return (
+            _interp(t, self.control_grid, self.control_box_duals_lower),
+            _interp(t, self.control_grid, self.control_box_duals_upper),
+        )
+
+    @property
+    def variable_box_duals(self):
+        """(lower, upper) bound multipliers on the static variable v."""
+        return self.variable_box_duals_lower, self.variable_box_duals_upper
 
     # ---- grid values (no interpolation) ----
     @property

@@ -9,6 +9,7 @@ compiled solver is reused — only the numeric content changes."""
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Iterable, List, Optional
 
 from ctdirect_tpu.model.init import InitialGuess
@@ -50,6 +51,7 @@ def grid_continuation(
     warm_options: Optional[IPMOptions] = None,
     init: Optional[InitialGuess] = None,
     display: bool = False,
+    strict: bool = False,
 ) -> List[Solution]:
     """Coarse-to-fine mesh refinement: solve the SAME ocp on grids[0], then
     warm-start each finer grid from the previous solution (the Solution's
@@ -68,15 +70,31 @@ def grid_continuation(
     warm_options, when given, is used for every stage after the first (e.g. a
     cooler barrier: options.replace(mu_init=1e-4) — re-heating mu to 0.1 on a
     near-optimal warm point discards most of its value). Returns the list of
-    Solutions, finest last."""
+    Solutions, finest last.
+
+    Failure semantics: every intermediate stage still warm-starts the next one
+    even if it did not formally converge (a near-feasible stall is usually
+    still an excellent warm start — the truck-trailer lab relies on this), but
+    a warnings.warn is emitted for each unsuccessful non-final stage so
+    callers inspecting only the final Solution can tell the chain ran through
+    a diverged stage. Pass strict=True to raise RuntimeError instead."""
     sols: List[Solution] = []
     guess = init
+    grids = list(grids)
     for k, n in enumerate(grids):
         docp = transcribe(ocp, grid_size=int(n), scheme=scheme)
         opts = options if (k == 0 or warm_options is None) else warm_options
         sol = solve_docp(docp, init=guess, options=opts)
         if display:
             print(f"grid_continuation N={n}: {sol}")
+        if k < len(grids) - 1 and not bool(sol.successful):
+            msg = (
+                f"grid_continuation: intermediate stage N={n} did not converge "
+                f"({sol.message}); the next stage is warm-started from it anyway"
+            )
+            if strict:
+                raise RuntimeError(msg)
+            warnings.warn(msg, stacklevel=2)
         sols.append(sol)
         guess = InitialGuess.from_solution(sol)
     return sols

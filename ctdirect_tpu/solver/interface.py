@@ -31,10 +31,17 @@ def _get_solver(docp: DOCP, options: IPMOptions):
         if options.kkt_mode == "dense":
             kkt = None  # ipm_solve defaults to DenseKKT
         elif options.kkt_mode in ("structured", "cr"):
+            import jax.numpy as jnp
+
             from ctdirect_tpu.solver.structured_kkt import StructuredKKT
 
             algo = "cr" if options.kkt_mode == "cr" else "scan"
-            kkt = StructuredKKT(docp, algorithm=algo)
+            sdt = (
+                jnp.float32
+                if options.kkt_solve_dtype in ("f32", "float32")
+                else None
+            )
+            kkt = StructuredKKT(docp, algorithm=algo, solve_dtype=sdt)
         else:
             raise ValueError(f"unknown kkt_mode {options.kkt_mode!r}")
 

@@ -87,6 +87,13 @@ class IPMOptions:
     # "structured" (block-tridiag elimination, O(N) depth) | "cr" (block cyclic
     # reduction, O(log N) depth) | "dense" (correctness oracle, small N only)
     kkt_mode: str = "structured"
+    # Mixed-precision KKT block solve: "f32" factors+solves the structured
+    # blocks in float32 (native on TPU; f64 is software-emulated) while
+    # residuals, assembly and the applied step stay f64 — inexact Newton with
+    # direction error ~cond*1e-7 per iteration (StructuredKKT.solve_dtype;
+    # measured 7.8x on the MPC tick, BENCH_MIXED_PRECISION.json). None = full
+    # precision. Ignored by kkt_mode="dense".
+    kkt_solve_dtype: Optional[str] = None
     grad_scaling: bool = True  # Ipopt gradient-based f/c scaling at z0
     scaling_max_grad: float = 100.0
     lsq_lambda_init: bool = True  # least-squares equality multiplier init
@@ -347,8 +354,10 @@ def ipm_solve(
     def primal_residual(z, s):
         return c(z) - rhs_eq - jnp.where(ineq, s, 0.0)
 
-    def kkt_error(z, s, lam, wL, wU, yL, yU, mu):
-        """Ipopt's scaled optimality error E_mu (Waechter-Biegler eq. 5)."""
+    def kkt_error_pair(z, s, lam, wL, wU, yL, yU, mu):
+        """Ipopt's scaled optimality error E_mu (Waechter-Biegler eq. 5),
+        evaluated at BOTH the current barrier mu and mu = 0 in one pass (the
+        two share every residual; only the complementarity offset differs)."""
         gL = _safe_gap(z, zl, zlm)
         gU = _safe_gap(zu, z, zum)
         sgL = _safe_gap(s, sl, slm)
@@ -356,14 +365,15 @@ def ipm_solve(
         r_d = grad_f(z) + jax.vjp(c, z)[1](lam)[0] - wL + wU
         r_s = jnp.where(ineq, -lam - yL + yU, 0.0)
         r_p = primal_residual(z, s)
-        compl = jnp.concatenate(
+        prods = jnp.concatenate(
             [
-                jnp.where(zlm, wL * gL - mu, 0.0),
-                jnp.where(zum, wU * gU - mu, 0.0),
-                jnp.where(slm, yL * sgL - mu, 0.0),
-                jnp.where(sum_, yU * sgU - mu, 0.0),
+                jnp.where(zlm, wL * gL, 0.0),
+                jnp.where(zum, wU * gU, 0.0),
+                jnp.where(slm, yL * sgL, 0.0),
+                jnp.where(sum_, yU * sgU, 0.0),
             ]
         )
+        masks = jnp.concatenate([zlm, zum, slm, sum_])
         bound_dual_sum = jnp.sum(wL + wU) + jnp.sum(yL + yU)
         dual_sum = jnp.sum(jnp.abs(lam)) + bound_dual_sum
         s_d = jnp.maximum(opts.s_max, dual_sum / n_duals) / opts.s_max
@@ -373,8 +383,14 @@ def ipm_solve(
         )
         e_d = jnp.max(jnp.abs(jnp.concatenate([r_d, r_s]))) / s_d
         e_p = jnp.max(jnp.abs(r_p), initial=0.0)
-        e_c = jnp.max(jnp.abs(compl), initial=0.0) / s_c
-        return jnp.maximum(jnp.maximum(e_d, e_p), e_c), e_p
+        e_c0 = jnp.max(jnp.abs(prods), initial=0.0) / s_c
+        e_cmu = jnp.max(jnp.abs(jnp.where(masks, prods - mu, 0.0)), initial=0.0) / s_c
+        base = jnp.maximum(e_d, e_p)
+        return jnp.maximum(base, e_cmu), jnp.maximum(base, e_c0), e_p
+
+    def kkt_error(z, s, lam, wL, wU, yL, yU, mu):
+        err_mu, _, e_p = kkt_error_pair(z, s, lam, wL, wU, yL, yU, mu)
+        return err_mu, e_p
 
     def barrier_phi(z, s):
         gL = _safe_gap(z, zl, zlm)
@@ -505,13 +521,16 @@ def ipm_solve(
 
         def reg_cond(state):
             (delta_w, trials), _, _, _, ok = state
-            return (~ok) & (trials < opts.max_reg_trials)
+            return (~ok) & (trials <= opts.max_reg_trials)
 
         def reg_body(state):
             (delta_w, trials), _, _, _, _ = state
-            # Ipopt's inertia-correction ladder (Waechter-Biegler Algorithm IC):
-            # first trial from the decayed last-used value (kappa_w^- = 1/3),
-            # escalate by kappa_w^+ = 8 (100 on the very first-ever correction)
+            # trial 0 is the unregularized solve; afterwards Ipopt's
+            # inertia-correction ladder (Waechter-Biegler Algorithm IC):
+            # first correction from the decayed last-used value (kappa_w^- =
+            # 1/3), escalate by kappa_w^+ = 8 (100 on the very first-ever
+            # correction). One solve instantiation serves every trial — the
+            # loop body is compiled once.
             never_used = carry.delta_w_last == 0.0
             first = jnp.where(
                 never_used,
@@ -520,8 +539,12 @@ def ipm_solve(
             )
             new_dw = jnp.where(
                 trials == 0,
-                first,
-                delta_w * jnp.where(never_used, 100.0, 8.0),
+                jnp.asarray(0.0, dtype),
+                jnp.where(
+                    trials == 1,
+                    first,
+                    delta_w * jnp.where(never_used, 100.0, 8.0),
+                ),
             )
             # dual regularization PROPORTIONAL to the primal one
             # (Friedlander-Orban regularized-SQP pairing): with H ~ dw*I the
@@ -529,21 +552,23 @@ def ipm_solve(
             # dc ~ 1e-8 dw bounds |dlam| instead of letting it blow up with
             # every ladder escalation (the lam -> |W| -> dw feedback loop
             # that stalled truck_trailer in round 1).
-            new_dc = jnp.maximum(delta_c_reg, 1e-8 * new_dw)
+            new_dc = jnp.where(
+                trials == 0,
+                jnp.asarray(opts.delta_c, dtype),
+                jnp.maximum(delta_c_reg, 1e-8 * new_dw),
+            )
             dz, dlam, ds, ok = reg_solve(new_dw, new_dc)
             return (new_dw, trials + 1), dz, dlam, ds, ok
 
-        dz0_, dlam0_, ds0_, ok0 = reg_solve(jnp.asarray(0.0, dtype), opts.delta_c)
+        zeros_state = (
+            (jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32)),
+            jnp.zeros((nz,), dtype),
+            jnp.zeros((nc,), dtype),
+            jnp.zeros((nc,), dtype),
+            jnp.asarray(False),
+        )
         (delta_w_used, _), dz, dlam, ds, solve_ok = jax.lax.while_loop(
-            reg_cond,
-            reg_body,
-            (
-                (jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32)),
-                dz0_,
-                dlam0_,
-                ds0_,
-                ok0,
-            ),
+            reg_cond, reg_body, zeros_state
         )
         delta_w_last = jnp.where(delta_w_used > 0, delta_w_used, carry.delta_w_last)
 
@@ -755,9 +780,9 @@ def ipm_solve(
         did_restore = ~accepted
 
         def restore(_):
-            gn_data = kkt.prepare(
-                z, jnp.zeros_like(lam), jnp.asarray(0.0, dtype), scale_c
-            )
+            # Gauss-Newton system reuses kdata's scaled Jacobians (same point
+            # z) with the Hessian zeroed — no second prepare() in the program
+            gn_data = kkt.gauss_newton_data(kdata)
             s_r = jnp.where(ineq, push_interior(c(z), sl, su, slm, sum_), 0.0)
             r_r = primal_residual(z, s_r)
             dz_gn, _ = kkt.solve(
@@ -848,8 +873,9 @@ def ipm_solve(
             lam_n = jax.lax.cond(refresh_wanted, refresh, lambda _: lam_n, None)
 
         # ---- convergence & barrier update ----
-        err_mu, _ = kkt_error(z_n, s_n, lam_n, wL_n, wU_n, yL_n, yU_n, mu)
-        err_0, viol = kkt_error(z_n, s_n, lam_n, wL_n, wU_n, yL_n, yU_n, 0.0)
+        err_mu, err_0, viol = kkt_error_pair(
+            z_n, s_n, lam_n, wL_n, wU_n, yL_n, yU_n, mu
+        )
 
         # a non-finite TRIAL point (objective/constraints inf at a
         # near-boundary step) is a failed iteration, not divergence: revert to

@@ -121,6 +121,13 @@ class DenseKKT:
         W, _ = data
         return 1.0 + jnp.max(jnp.abs(jnp.diagonal(W)))
 
+    def gauss_newton_data(self, data):
+        """Same constraint Jacobians, zero Hessian — the Gauss-Newton system
+        the restoration step solves. Reuses the prepared data instead of
+        re-deriving at the same point."""
+        W, J = data
+        return (jnp.zeros_like(W), J)
+
     def lsq_lambda(self, z, g, sf, sc, Drow=None):
         """argmin_lam |g + J~^T lam| via (J~ J~^T + D + eps) lam = -J~ g.
         Optional Drow damps selected rows (the dual-refresh path damps

@@ -194,7 +194,7 @@ def _use_pallas(dtype, P, bs, wb, B):
 
     from ctdirect_tpu.solver.pallas_cr import LANE_CHUNK, fits_vmem
 
-    flag = os.environ.get("CTDIRECT_TPU_PALLAS", "0").lower()
+    flag = os.environ.get("CTDIRECT_TPU_PALLAS", "auto").lower()
     if flag in ("0", "off", "false"):
         return False
     eligible = (

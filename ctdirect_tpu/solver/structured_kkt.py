@@ -280,6 +280,18 @@ class StructuredKKT:
     def diag_scale(self, data):
         return 1.0 + jnp.max(jnp.abs(jnp.diagonal(data["Hloc"], axis1=-2, axis2=-1)))
 
+    def gauss_newton_data(self, data):
+        """Zero-Hessian view of prepared data (same scaled Jacobians) — the
+        Gauss-Newton system of the restoration step, without re-running the
+        vmapped per-step jax.hessian at the same point."""
+        return dict(
+            Hloc=jnp.zeros_like(data["Hloc"]),
+            Jloc=data["Jloc"],
+            Hb=jnp.zeros_like(data["Hb"]),
+            Jfp=data["Jfp"],
+            Jbc=data["Jbc"],
+        )
+
     def lsq_lambda(self, z, g, sf, sc, Drow=None):
         """Least-squares multiplier init on the structured path: solving the
         block system [I J~^T; J~ -(D + eps) I][dz; lam] = [-g; 0] yields

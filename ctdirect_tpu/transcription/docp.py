@@ -345,6 +345,35 @@ class DOCP:
         start = self.N * self.cw + self.n_path
         return start + np.arange(self.n_boundary)
 
+    def state_col_indices(self) -> np.ndarray:
+        """(N+1, n) flat z-indices of the state at every grid node."""
+        rows = np.arange(self.N)[:, None] * self.bw + np.arange(self.n)[None, :]
+        tail = self.N * self.bw + np.arange(self.n)
+        return np.vstack([rows, tail[None, :]])
+
+    def variable_col_indices(self) -> np.ndarray:
+        """(q,) flat z-indices of the static optimization variable v."""
+        return self.nz - self.q + np.arange(self.q)
+
+    def control_output_col_indices(self) -> np.ndarray:
+        """Flat z-indices of the control entries matching build_solution's
+        control output grid row-for-row: (Nc, m) with Nc = len(control_grid).
+        For cs == 1 non-node schemes the final node repeats the last step's
+        control entry (same z column), mirroring node_controls."""
+        N, n, m, cs = self.N, self.n, self.m, self.cs
+        if m == 0:
+            rows = self.Nu * cs + (1 if (cs == 1 and not self.scheme.u_at_nodes) else 0)
+            return np.zeros((rows, 0), dtype=int)
+        step_cols = (
+            np.arange(N)[:, None] * self.bw + n + np.arange(cs * m)[None, :]
+        ).reshape(N * cs, m)
+        if self.scheme.u_at_nodes:
+            tail = self.N * self.bw + n + np.arange(m)
+            return np.vstack([step_cols, tail[None, :]])
+        if cs == 1:
+            return np.vstack([step_cols, step_cols[-1:]])
+        return step_cols
+
     def control_col_indices(self) -> np.ndarray:
         """Flat z-indices of every control entry (all steps, all sub-controls,
         plus the tail node control for u-at-nodes schemes) — e.g. to batch
@@ -403,6 +432,21 @@ class DOCP:
             lam[self.boundary_row_indices()] if self.n_boundary > 0 else None
         )
 
+        # per-group box-multiplier views (≙ build_OCP_solution's unpacking of
+        # the lower/upper bound multipliers into per-time-step state/control
+        # and variable components, reference DOCP_data.jl:521–560, 608–632)
+        scols = self.state_col_indices()
+        ccols = self.control_output_col_indices()
+        vcols = self.variable_col_indices()
+        box_groups = dict(
+            state_box_duals_lower=zL[scols],
+            state_box_duals_upper=zU[scols],
+            control_box_duals_lower=zL[ccols],
+            control_box_duals_upper=zU[ccols],
+            variable_box_duals_lower=zL[vcols],
+            variable_box_duals_upper=zU[vcols],
+        )
+
         return Solution(
             ocp=self.ocp,
             time_grid=t,
@@ -422,6 +466,7 @@ class DOCP:
             lower_box_duals=zL,
             upper_box_duals=zU,
             infos=infos or {},
+            **box_groups,
         )
 
 

@@ -18,7 +18,7 @@ from ctdirect_tpu.solver.ipm import IPMOptions
 
 class Cfg:
     def __init__(self, grid=100, scheme="trapeze", rtol=1e-2, pre_grids=(),
-                 warm_mu=None, **opts):
+                 **opts):
         self.grid = grid
         self.scheme = scheme
         self.rtol = rtol
@@ -27,7 +27,6 @@ class Cfg:
         # fine grid but truly converge through refinement — measured in
         # benchmarks/swimmer_lab.py / truck_lab.py
         self.pre_grids = list(pre_grids)
-        self.warm_mu = warm_mu
         self.opts = dict(tol=1e-6, max_iter=600)
         self.opts.update(opts)
 
@@ -101,13 +100,11 @@ def test_solve_fixture(name):
     if cfg.pre_grids:
         from ctdirect_tpu.solver import grid_continuation
 
-        warm_opts = opts if cfg.warm_mu is None else opts.replace(mu_init=cfg.warm_mu)
         sols = grid_continuation(
             prob.ocp,
             cfg.pre_grids + [cfg.grid],
             scheme=cfg.scheme,
             options=opts,
-            warm_options=warm_opts,
             init=prob.init,
         )
         sol = sols[-1]
@@ -136,3 +133,17 @@ def test_solve_fixture(name):
         )
     else:
         np.testing.assert_allclose(sol.objective, prob.obj, rtol=cfg.rtol)
+
+
+@pytest.mark.slow
+def test_truck_trailer_fine_grid_smoke():
+    """Fine-grid feasibility + objective smoke for truck_trailer (the CI oracle
+    runs N=50 where it truly converges; this guards the N=200 regime the
+    reference solves at its default grid — a near-feasible stall in the flat
+    valley around obj ~55.x is the measured behavior, benchmarks/truck_lab.py).
+    """
+    prob = get_problem("truck_trailer")
+    docp = ct.transcribe(prob.ocp, grid_size=200, scheme="trapeze")
+    sol = solve_docp(docp, init=prob.init, options=IPMOptions(tol=1e-6, max_iter=800))
+    assert sol.constraints_violation <= 1e-4, sol.constraints_violation
+    assert 54.0 <= sol.objective <= 57.0, sol.objective

@@ -75,6 +75,35 @@ def test_goddard_free_tf():
     np.testing.assert_allclose(sol.state_values[-1, 2], 0.6, atol=1e-4)
 
 
+def test_goddard_box_dual_groups():
+    """Per-group box-multiplier views (≙ build_OCP_solution's per-node
+    state/control/variable bound-multiplier unpacking, DOCP_data.jl:521–560):
+    on goddard's active speed-limit arc (v == vmax) the upper state-box
+    multiplier for v must be active — positive in the minimization sense
+    (goddard maximizes, so the user-sense sign is flipped) — and ~zero away
+    from the arc."""
+    p, sol = run("goddard", 100)
+    v = sol.state_values[:, 1]
+    on = np.where(v > 0.1 - 1e-4)[0]
+    assert len(on) > 5  # the constrained arc exists
+    up = sol.state_box_duals_upper  # (N+1, n), user (max) sense
+    internal_up = -up[:, 1]  # minimization-sense multiplier, >= 0
+    assert internal_up[on].max() > 1e-4
+    off = np.setdiff1d(np.arange(len(v)), np.concatenate([on, on - 1, on + 1]))
+    assert np.abs(internal_up[off]).max() < 1e-5
+    # functional accessors agree with the grid views
+    t_mid = sol.time_grid[on[len(on) // 2]]
+    lo_t, up_t = sol.state_box_duals(t_mid)
+    assert up_t.shape == (3,) and lo_t.shape == (3,)
+    np.testing.assert_allclose(up_t[1], up[on[len(on) // 2], 1], rtol=1e-10)
+    # control duals: bang arc at u = 1 early on -> active upper control bound
+    clo, cup = sol.control_box_duals(sol.control_grid[1])
+    assert clo.shape == (1,) and cup.shape == (1,)
+    # variable (free tf, unbounded above; lb inactive) -> ~zero duals
+    vlo, vup = sol.variable_box_duals
+    assert vlo.shape == (1,) and np.abs(vlo).max() < 1e-6
+
+
 def test_goddard_all_constraint_types():
     """Goddard with nonlinear path constraints + partial boxes (goddard.jl:87–158)."""
     p, sol = run("goddard_all", 60)
