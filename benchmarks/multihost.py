@@ -78,7 +78,7 @@ def main():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from ctdirect_tpu import transcribe
-    from ctdirect_tpu.parallel.mpc import MPCController, broadcast_state
+    from ctdirect_tpu.parallel.mpc import MPCController
     from ctdirect_tpu.problems import get_problem
     from ctdirect_tpu.solver.ipm import IPMOptions
 
@@ -100,14 +100,26 @@ def main():
         mesh=mesh,
     )
     warm = ctrl.cold_start(options=IPMOptions(tol=1e-8, max_iter=60))
-    states = broadcast_state(warm, B)
     sharding = NamedSharding(mesh, P("batch"))
-    states = jax.device_put(states, sharding)
+    multiproc = jax.process_count() > 1
+
+    def to_global(local_np):
+        """Assemble a global batch-sharded array from this process's shard
+        (every host feeds only its local portion — the SCALING.md protocol)."""
+        if multiproc:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(local_np)
+            )
+        return jax.device_put(jnp.asarray(local_np), sharding)
+
+    B_local = args.batch_per_chip * jax.local_device_count()
+    states = jax.tree_util.tree_map(
+        lambda a: to_global(np.broadcast_to(np.asarray(a), (B_local,) + a.shape)),
+        warm,
+    )
 
     rng = np.random.default_rng(args.host_id)
-    x0 = jax.device_put(
-        jnp.asarray(0.03 * rng.standard_normal((B, 2))), sharding
-    )
+    x0 = to_global(0.03 * rng.standard_normal((B_local, 2)))
 
     t0 = time.time()
     states, u0, kkt, viol = ctrl(states, x0)
@@ -115,7 +127,7 @@ def main():
     log(f"tick compile+run: {time.time()-t0:.1f}s")
 
     xs = [
-        jax.device_put(jnp.asarray(0.03 * rng.standard_normal((B, 2))), sharding)
+        to_global(0.03 * rng.standard_normal((B_local, 2)))
         for _ in range(args.ticks)
     ]
     t0 = time.time()
@@ -123,6 +135,10 @@ def main():
         states, u0, kkt, viol = ctrl(states, x)
     u0.block_until_ready()
     dt = (time.time() - t0) / args.ticks
+    # replicated reduction so every process can read the scalar
+    kkt_max = float(
+        jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P()))(kkt)
+    )
     out = dict(
         metric="multi-host warm MPC solves/s",
         n_hosts=args.num_hosts,
@@ -131,7 +147,7 @@ def main():
         ms_per_tick=round(dt * 1e3, 2),
         solves_per_s=round(B / dt, 1),
         solves_per_s_per_chip=round(B / dt / n_chips, 1),
-        kkt_max=float(jnp.max(kkt)),
+        kkt_max=kkt_max,
     )
     if args.host_id == 0:
         print(json.dumps(out))

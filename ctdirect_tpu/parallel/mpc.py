@@ -72,11 +72,30 @@ class MPCController:
         resolve_loop: str = "unroll",
         mesh: Optional[Mesh] = None,
         batch_axis: str = "batch",
+        time_axis: Optional[str] = None,
+        kkt_factory=None,
     ):
+        """mesh + batch_axis: shard the instance batch (data-parallel tick).
+        mesh + batch_axis + time_axis: 2-D mesh — instances sharded over
+        batch_axis AND each instance's KKT chain solved by distributed CR over
+        time_axis (the BASELINE batch x time multi-host configuration).
+        kkt_factory(docp) -> KKT operator overrides the default construction
+        (e.g. a custom preconditioned solver)."""
         self.docp = docp
         self.shift = shift
         spec = make_spec(docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
-        kkt = StructuredKKT(docp, algorithm=kkt_algorithm, solve_dtype=kkt_solve_dtype)
+        if kkt_factory is not None:
+            kkt = kkt_factory(docp)
+        elif mesh is not None and time_axis is not None:
+            from ctdirect_tpu.parallel.time_shard import InsideTimeShardKKT
+
+            kkt = InsideTimeShardKKT(
+                docp, time_axis, mesh.shape[time_axis], solve_dtype=kkt_solve_dtype
+            )
+        else:
+            kkt = StructuredKKT(
+                docp, algorithm=kkt_algorithm, solve_dtype=kkt_solve_dtype
+            )
         resolve = make_resolver(
             docp.nlp_objective,
             docp.constraints,
@@ -103,7 +122,22 @@ class MPCController:
             return res.state, u0, res.kkt_error, res.constraints_violation
 
         vtick = jax.vmap(tick)
-        if mesh is not None:
+        if mesh is not None and time_axis is not None:
+            # 2-D batch x time mesh: one shard_map over the WHOLE mesh. The
+            # instance batch is sharded over batch_axis; inside the body the
+            # KKT chain solve runs distributed CR over time_axis (the
+            # InsideTimeShardKKT built above issues the ppermute/psum/
+            # all_gather collectives), while everything else is replicated
+            # over time_axis.
+            smap = jax.shard_map(
+                vtick,
+                mesh=mesh,
+                in_specs=(P(batch_axis), P(batch_axis)),
+                out_specs=(P(batch_axis), P(batch_axis), P(batch_axis), P(batch_axis)),
+                check_vma=False,
+            )
+            self._tick = jax.jit(smap)
+        elif mesh is not None:
             # shard the batch (data-parallel) axis over the mesh: the resolve
             # is embarrassingly parallel across instances, so XLA partitions
             # the whole tick with zero collectives on the hot path

@@ -237,6 +237,81 @@ def make_sharded_tridiag_solver(mesh: Mesh, axis: str, N: int, bs: int, wb: int)
     return solve
 
 
+class InsideTimeShardKKT:
+    """StructuredKKT variant for use INSIDE an open shard_map region (the 2-D
+    batch x time MPC mesh, parallel/mpc.py): block assembly runs replicated
+    over the time axis, each device slices its shard of the chain, the solve is
+    the distributed CR (ppermute/psum over `axis` — ICI on hardware), and one
+    all_gather rebuilds the full step vector for the replicated IPM update.
+
+    This is the composition the BASELINE "linear multi-host scaling" config
+    names: batch data-parallel over one mesh axis, the N-long collocation chain
+    over the other."""
+
+    def __init__(self, docp, axis: str, n_dev: int, solve_dtype=None):
+        from ctdirect_tpu.solver.structured_kkt import StructuredKKT
+
+        self.inner = StructuredKKT(docp, solve_dtype=solve_dtype)
+        self.axis = axis
+        self.D = n_dev
+        d = self.inner.d
+        P_len = 1
+        while P_len < max(d.N, n_dev):
+            P_len *= 2
+        assert P_len % n_dev == 0
+        self.P_len = P_len
+        self.local_len = P_len // n_dev
+
+    def row_norms(self, z):
+        return self.inner.row_norms(z)
+
+    def prepare(self, z, lam, sf, sc):
+        return self.inner.prepare(z, lam, sf, sc)
+
+    def diag_scale(self, data):
+        return self.inner.diag_scale(data)
+
+    def gauss_newton_data(self, data):
+        return self.inner.gauss_newton_data(data)
+
+    def lsq_lambda(self, z, g, sf, sc, Drow=None):
+        return self.inner.lsq_lambda(z, g, sf, sc, Drow)
+
+    def solve(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
+        d = self.inner.d
+        A, B, E, F, r, rb = self.inner._assemble(
+            data, sigma_z, Drow, delta_w, delta_c, rz, rp
+        )
+        out_dtype = rz.dtype
+        sdt = self.inner.solve_dtype
+        if sdt is not None:
+            A, B, E, F, r, rb = (x.astype(sdt) for x in (A, B, E, F, r, rb))
+        dtype = A.dtype
+        pad = self.P_len - d.N
+        if pad:
+            eye = jnp.broadcast_to(jnp.eye(d.bs, dtype=dtype), (pad, d.bs, d.bs))
+            A = jnp.concatenate([A, eye], axis=0)
+            E = jnp.concatenate([E, jnp.zeros((pad, d.bs, d.wb), dtype)], axis=0)
+            r = jnp.concatenate([r, jnp.zeros((pad, d.bs), dtype)], axis=0)
+        Bp = jnp.concatenate(
+            [B, jnp.zeros((self.P_len - B.shape[0], d.bs, d.bs), dtype)], axis=0
+        )
+        idx = jax.lax.axis_index(self.axis)
+        L = self.local_len
+
+        def shard(x):
+            return jax.lax.dynamic_slice_in_dim(x, idx * L, L, axis=0)
+
+        X, xb = dcr_solve(
+            shard(A), shard(Bp), shard(E), shard(r), F, rb, self.axis, L, self.D
+        )
+        X_full = jax.lax.all_gather(X, self.axis, axis=0, tiled=True)[: d.N]
+        if sdt is not None:
+            X_full = X_full.astype(out_dtype)
+            xb = xb.astype(out_dtype)
+        return self.inner._unscatter(X_full, xb)
+
+
 class TimeShardedKKT:
     """KKT operator running block assembly locally and the tridiagonal solve
     distributed over a mesh time axis. Wraps a StructuredKKT."""
@@ -256,6 +331,9 @@ class TimeShardedKKT:
 
     def diag_scale(self, data):
         return self.inner.diag_scale(data)
+
+    def gauss_newton_data(self, data):
+        return self.inner.gauss_newton_data(data)
 
     def lsq_lambda(self, z, g, sf, sc, Drow=None):
         # the LSQ init/refresh solve is tiny relative to the IPM iterations:

@@ -41,7 +41,12 @@ def _get_solver(docp: DOCP, options: IPMOptions):
                 if options.kkt_solve_dtype in ("f32", "float32")
                 else None
             )
-            kkt = StructuredKKT(docp, algorithm=algo, solve_dtype=sdt)
+            kkt = StructuredKKT(
+                docp,
+                algorithm=algo,
+                solve_dtype=sdt,
+                refine=options.kkt_refine if sdt is not None else 0,
+            )
         else:
             raise ValueError(f"unknown kkt_mode {options.kkt_mode!r}")
 
