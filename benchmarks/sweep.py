@@ -26,22 +26,26 @@ import sys
 import time
 
 
-# matches the composition of the reference's "easy" NLP-comparison suite
+# the reference's NLP-comparison suite, EXACT composition
+# (test/archives/NLP_comparison.md:10: beam, double_integrator x3 incl.
+# freet0tf, fuller, goddard, goddard_all, jackson, simple_integrator,
+# vanderpol)
 EASY_SET = [
     "beam",
-    "double_integrator_minenergy",
     "double_integrator_mintf",
+    "double_integrator_minenergy",
+    "double_integrator_freet0tf",
     "fuller",
     "goddard",
+    "goddard_all",
     "jackson",
-    "robbins",
     "simple_integrator",
     "vanderpol",
-    "parametric",
 ]
 
 
-def run_sweep(problems, grids, scheme, tol, max_iter, kkt, warm=False):
+def run_sweep(problems, grids, scheme, tol, max_iter, kkt, warm=False,
+              solve_dtype="f32"):
     import jax
 
     from ctdirect_tpu import transcribe
@@ -49,7 +53,12 @@ def run_sweep(problems, grids, scheme, tol, max_iter, kkt, warm=False):
     from ctdirect_tpu.solver.interface import solve_docp
     from ctdirect_tpu.solver.ipm import IPMOptions
 
-    opts = IPMOptions(tol=tol, max_iter=max_iter, kkt_mode=kkt)
+    opts = IPMOptions(
+        tol=tol,
+        max_iter=max_iter,
+        kkt_mode=kkt,
+        kkt_solve_dtype=None if solve_dtype in (None, "f64") else solve_dtype,
+    )
     rows = []
     for name in problems:
         prob = get_problem(name)
@@ -141,14 +150,22 @@ def main():
     ap.add_argument("--scheme", default="trapeze")
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=500)
-    ap.add_argument("--kkt", default="structured", choices=["dense", "structured", "cr"])
+    ap.add_argument("--kkt", default="cr", choices=["dense", "structured", "cr"],
+                    help="default cr: O(log N) masked cyclic reduction — the "
+                         "latency-optimal single-instance solve on TPU, and it "
+                         "avoids the N>=2500 long-scan TPU kernel fault "
+                         "(latency_lab r4: scan-f32 N=5000 crashes the worker)")
+    ap.add_argument("--solve-dtype", default="f32", choices=["f32", "f64"],
+                    help="f32: native-precision block solve + 1 f64 iterative-"
+                         "refinement sweep (IPMOptions.kkt_solve_dtype)")
     ap.add_argument("--micro", action="store_true")
     ap.add_argument("--warm", action="store_true",
                     help="also time a second (compile-free) solve per cell")
-    ap.add_argument("--persist-cache", action="store_true",
-                    help="enable the on-disk JAX compilation cache (makes cold "
-                         "wall_s non-reproducible across invocations; use the "
-                         "warm_s column for compile-free numbers)")
+    ap.add_argument("--no-persist-cache", dest="persist_cache",
+                    action="store_false", default=True,
+                    help="disable the on-disk JAX compilation cache (cache is "
+                         "ON by default; cold wall_s then measures first-ever "
+                         "compiles only — use warm_s for compile-free numbers)")
     ap.add_argument("--json", default=None, help="write results to this path")
     args = ap.parse_args()
 
@@ -176,7 +193,7 @@ def main():
         rows = run_micro(problems, grids[0], args.scheme)
     else:
         rows = run_sweep(problems, grids, args.scheme, args.tol, args.max_iter,
-                         args.kkt, warm=args.warm)
+                         args.kkt, warm=args.warm, solve_dtype=args.solve_dtype)
         total = sum(r["wall_s"] for r in rows)
         nok = sum(1 for r in rows if r.get("ok"))
         print(f"\ntotal {total:.1f}s wall ({time.time()-t0:.1f}s incl compile), "

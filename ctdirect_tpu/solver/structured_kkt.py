@@ -307,9 +307,11 @@ class StructuredKKT:
         """Least-squares multiplier init on the structured path: solving the
         block system [I J~^T; J~ -(D + eps) I][dz; lam] = [-g; 0] yields
         lam = -(J~ J~^T + D + eps)^-1 J~ g — the same estimate DenseKKT
-        computes (kkt.py), but in O(N) via the block-tridiagonal elimination.
-        The identity Hessian enters through sigma_z = 1; optional Drow damps
-        selected rows (dual refresh damps inequality rows)."""
+        computes (kkt.py), but via the instance's own algorithm/precision
+        (an f64 scan here used to cost ~40 ms at N=250 on TPU — most of the
+        per-solve fixed cost — for an initial GUESS that f32 CR serves
+        equally well). The identity Hessian enters through sigma_z = 1;
+        optional Drow damps selected rows (dual refresh damps ineq rows)."""
         dtype = z.dtype
         nz = self.docp.nz
         nc = self.docp.nc
@@ -323,8 +325,13 @@ class StructuredKKT:
             g,
             jnp.zeros((nc,), dtype),
         )
-        X, xb = _scan_solve(*blocks)
-        _, lam = self._unscatter(X, xb)
+        if self.solve_dtype is not None:
+            blocks = tuple(b.astype(self.solve_dtype) for b in blocks)
+        if self.algorithm == "cr":
+            X, xb = _cr_solve(*blocks)
+        else:
+            X, xb = _scan_solve(*blocks)
+        _, lam = self._unscatter(X.astype(dtype), xb.astype(dtype))
         return lam
 
     # ------------------------------------------------------------------
@@ -356,13 +363,21 @@ class StructuredKKT:
                 xb = xb.astype(out_dtype)
             return X, xb
 
-        X, xb = run(r, rb)
-        if self.solve_dtype is not None:
-            for _ in range(self.refine):
+        if self.solve_dtype is None or self.refine == 0:
+            X, xb = run(r, rb)
+        else:
+            # refinement as a fori_loop FROM ZERO: iteration 0 reproduces the
+            # base solve (residual of x=0 is r), so one reduced-precision
+            # solver instantiation serves base + all refinement sweeps — the
+            # program stays the same size as the unrefined solve
+            def body(_, carry):
+                X, xb = carry
                 y, yb = _block_matvec(A, B, E, F, X, xb)
                 dX, dxb = run(r - y, rb - yb)
-                X = X + dX
-                xb = xb + dxb
+                return (X + dX, xb + dxb)
+
+            X0 = (jnp.zeros(r.shape, r.dtype), jnp.zeros(rb.shape, rb.dtype))
+            X, xb = jax.lax.fori_loop(0, 1 + self.refine, body, X0)
         return self._unscatter(X, xb)
 
     def _assemble(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
@@ -570,10 +585,20 @@ def _scan_solve(A, B, E, F, r, rb):
 
 
 def _cr_solve(A, B, E, F, r, rb):
-    """Block CYCLIC REDUCTION + border Schur: O(log N) sequential depth, all
-    per-level work batched over blocks — the TPU-native depth-optimal solve
-    (SURVEY.md §7: the structural analogue of context parallelism; across a
-    device mesh each level's neighbor access becomes a ppermute).
+    """Block CYCLIC REDUCTION + border Schur, FIXED-WIDTH (masked) form:
+    O(log N) sequential depth with ONE compiled level body.
+
+    The textbook recursion halves the arrays each level, which under tracing
+    unrolls into log2(P) distinct programs (the r3 CR program was ~18k
+    StableHLO lines at N=250 and compiled for minutes on TPU). Here every
+    level instead operates on a constant-width P/2 array whose ACTIVE prefix
+    halves; the padding (identity A, zero B/E/r) is self-maintaining through
+    the level recurrences (zero couplings produce zero updates and identity
+    Schur complements), so the whole up-sweep is a lax.scan over log2(P)
+    iterations of one body, and the down-sweep a reverse scan whose carry's
+    active prefix doubles (garbage stays exactly zero for the same reason).
+    ~log2(P)/2 x more block flops than the shrinking version — irrelevant on
+    TPU where each level is latency-bound — for a ~log2(P) x smaller program.
 
     Eliminating every odd block i yields, for its even neighbors:
         A'[i-1] -= B[i-1] A_i^{-1} B[i-1]^T        (left even)
@@ -600,17 +625,28 @@ def _cr_solve(A, B, E, F, r, rb):
         [B, jnp.zeros((P - B.shape[0], bs, bs), dtype)], axis=0
     )
 
+    if P == 1:
+        top = jnp.concatenate([A[0], E[0]], axis=1)
+        bot = jnp.concatenate([E[0].T, F], axis=1)
+        root = jnp.concatenate([top, bot], axis=0)
+        sol = gj_solve(root, jnp.concatenate([r[0], rb])[:, None])[:, 0]
+        return sol[:bs][None][:N], sol[bs:]
+
     vinv = jax.vmap(gj_inverse)
-    levels = []
-    M = P
-    while M > 1:
-        Ae, Ao = A[0::2], A[1::2]  # evens, odds (M/2 each)
+    H = P // 2
+    L = P.bit_length() - 1  # log2(P) levels
+    eyeH = jnp.broadcast_to(jnp.eye(bs, dtype=dtype), (H, bs, bs))
+    zeroH = jnp.zeros((H, bs, bs), dtype)
+
+    def up(carry, _):
+        A, Bp, E, r, F, rb = carry  # (P, ...) with active prefix M
+        Ae, Ao = A[0::2], A[1::2]  # (H, ...): active prefix M/2, then padding
         Bl = Bp[0::2]  # couples even_j -> odd_j
-        Br = Bp[1::2]  # couples odd_j -> even_{j+1} (last is zero)
+        Br = Bp[1::2]  # couples odd_j -> even_{j+1} (last ACTIVE slot is zero)
         Eo, ro = E[1::2], r[1::2]
         Ainv_o = vinv(Ao)
 
-        CL = jnp.einsum("nij,njk->nik", Bl, Ainv_o)  # (M/2, bs, bs)
+        CL = jnp.einsum("nij,njk->nik", Bl, Ainv_o)  # (H, bs, bs)
         CR = jnp.einsum("nji,njk->nik", Br, Ainv_o)  # B_r^T A_o^{-1}
 
         A_new = Ae - jnp.einsum("nij,nkj->nik", CL, Bl)
@@ -620,27 +656,36 @@ def _cr_solve(A, B, E, F, r, rb):
         r_new = r[0::2] - jnp.einsum("nij,nj->ni", CL, ro)
         r_new = r_new.at[1:].add(-jnp.einsum("nij,nj->ni", CR, ro)[:-1])
         B_new = -jnp.einsum("nij,njk->nik", CL, Br)  # even_j -> even_{j+1}
-        B_new = B_new.at[-1].set(jnp.zeros((bs, bs), dtype))
 
         F = F - jnp.einsum("nji,njk,nkl->il", Eo, Ainv_o, Eo)
         rb = rb - jnp.einsum("nji,njk,nk->i", Eo, Ainv_o, ro)
 
-        levels.append((Ainv_o, Bl, Br, Eo, ro))
-        A, Bp, E, r = A_new, B_new, E_new, r_new
-        M //= 2
+        # re-pad to constant width P (the active prefix just halved); padding
+        # stays inert: identity A, zero couplings/rhs
+        A2 = jnp.concatenate([A_new, eyeH], axis=0)
+        B2 = jnp.concatenate([B_new, zeroH], axis=0)
+        E2 = jnp.concatenate([E_new, jnp.zeros((H, bs, wb), dtype)], axis=0)
+        r2 = jnp.concatenate([r_new, jnp.zeros((H, bs), dtype)], axis=0)
+        return (A2, B2, E2, r2, F, rb), (Ainv_o, Bl, Br, Eo, ro)
+
+    (A, Bp, E, r, F, rb), saves = jax.lax.scan(
+        up, (A, Bp, E, r, F, rb), None, length=L
+    )
 
     # root: [[A0, E0], [E0^T, F]] [x0; xb] = [r0; rb]
     top = jnp.concatenate([A[0], E[0]], axis=1)
     bot = jnp.concatenate([E[0].T, F], axis=1)
     root = jnp.concatenate([top, bot], axis=0)
     sol = gj_solve(root, jnp.concatenate([r[0], rb])[:, None])[:, 0]
-    X = sol[:bs][None]  # (1, bs)
     xb = sol[bs:]
+    # full-width X carry: active prefix doubles each down level; padding solves
+    # are exactly zero (zero rhs against identity blocks), so the prefix of the
+    # interleave is always the valid solution
+    X = jnp.zeros((P, bs), dtype).at[0].set(sol[:bs])
 
-    # back-substitution up the levels
-    for Ainv_o, Bl, Br, Eo, ro in reversed(levels):
-        m = Ainv_o.shape[0]  # number of odds at this level; evens = m
-        x_e = X  # (m, bs)
+    def down(X, save):
+        Ainv_o, Bl, Br, Eo, ro = save
+        x_e = X[:H]  # (H, bs): active prefix m, zeros beyond
         x_e_next = jnp.concatenate([x_e[1:], jnp.zeros((1, bs), dtype)], axis=0)
         rhs = (
             ro
@@ -649,7 +694,7 @@ def _cr_solve(A, B, E, F, r, rb):
             - jnp.einsum("nij,j->ni", Eo, xb)
         )
         x_o = jnp.einsum("nij,nj->ni", Ainv_o, rhs)
-        # interleave evens and odds
-        X = jnp.stack([x_e, x_o], axis=1).reshape(2 * m, bs)
+        return jnp.stack([x_e, x_o], axis=1).reshape(P, bs), None
 
+    X, _ = jax.lax.scan(down, X, saves, reverse=True)
     return X[:N], xb
