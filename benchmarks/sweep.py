@@ -142,6 +142,54 @@ def run_micro(problems, N, scheme):
     return rows
 
 
+def run_isolated(problems, grids, args):
+    """Run every (problem, N) cell in its OWN subprocess: a TPU worker crash
+    (kernel fault — observed on goddard/jackson N>=2500, r3/r4) then kills one
+    cell instead of cascading over every later cell in the process (the r3
+    sweeps lost 2 whole problem columns to one crash). The persistent compile
+    cache keeps the per-process restart cost to device init (~20 s)."""
+    import subprocess
+    import tempfile
+
+    rows = []
+    me = os.path.abspath(__file__)
+    for name in problems:
+        for N in grids:
+            with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
+                cell_json = fh.name
+            cmd = [
+                sys.executable, me,
+                "--problems", name, "--grids", str(N),
+                "--scheme", args.scheme, "--tol", str(args.tol),
+                "--max-iter", str(args.max_iter), "--kkt", args.kkt,
+                "--solve-dtype", args.solve_dtype, "--json", cell_json,
+            ]
+            if args.warm:
+                cmd.append("--warm")
+            if args.cpu:
+                cmd.append("--cpu")
+            if not args.persist_cache:
+                cmd.append("--no-persist-cache")
+            t0 = time.time()
+            proc = subprocess.run(cmd, timeout=3600)
+            try:
+                with open(cell_json) as fh:
+                    rows.extend(json.load(fh))
+            except Exception:  # noqa: BLE001 — subprocess died before writing
+                rows.append(dict(
+                    problem=name, N=N, ok=False,
+                    error=f"cell subprocess exited rc={proc.returncode}",
+                    wall_s=round(time.time() - t0, 1),
+                ))
+                print(f"ERR  {name:32s} N={N:<6d} subprocess rc={proc.returncode}",
+                      flush=True)
+            try:
+                os.unlink(cell_json)
+            except OSError:
+                pass
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -158,6 +206,8 @@ def main():
     ap.add_argument("--solve-dtype", default="f32", choices=["f32", "f64"],
                     help="f32: native-precision block solve + 1 f64 iterative-"
                          "refinement sweep (IPMOptions.kkt_solve_dtype)")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each cell in its own subprocess (crash isolation)")
     ap.add_argument("--micro", action="store_true")
     ap.add_argument("--warm", action="store_true",
                     help="also time a second (compile-free) solve per cell")
@@ -191,6 +241,8 @@ def main():
     t0 = time.time()
     if args.micro:
         rows = run_micro(problems, grids[0], args.scheme)
+    elif args.isolate:
+        rows = run_isolated(problems, grids, args)
     else:
         rows = run_sweep(problems, grids, args.scheme, args.tol, args.max_iter,
                          args.kkt, warm=args.warm, solve_dtype=args.solve_dtype)

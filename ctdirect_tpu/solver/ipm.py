@@ -94,10 +94,12 @@ class IPMOptions:
     # measured 7.8x on the MPC tick, BENCH_MIXED_PRECISION.json). None = full
     # precision. Ignored by kkt_mode="dense".
     kkt_solve_dtype: Optional[str] = None
-    # f64 iterative-refinement sweeps around the f32 block solve (1 sweep
-    # recovers f64-quality directions at large N where cond(K) ~ N^2 makes the
-    # bare f32 direction degrade convergence; see StructuredKKT.refine).
-    kkt_refine: int = 1
+    # f64 iterative-refinement sweeps around the f32 block solve (cond(K) ~
+    # N^2 makes bare-f32 directions degrade convergence at large N; see
+    # StructuredKKT.refine). 2 sweeps measured necessary-and-sufficient on the
+    # worst fixture: goddard trapeze N=2500 stalls at refine=1 (500 iters) but
+    # converges in 59 with refine=2 (robbins N=5000: 47 iters either way).
+    kkt_refine: int = 2
     grad_scaling: bool = True  # Ipopt gradient-based f/c scaling at z0
     scaling_max_grad: float = 100.0
     lsq_lambda_init: bool = True  # least-squares equality multiplier init

@@ -39,8 +39,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE_CHUNK = 64
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the ~16 MB/core VMEM
+# Mosaic requires the last two block dims be divisible by (8, 128) or equal to
+# the array dims — the lane-chunk axis is last, so it must be a multiple of
+# 128 (a 64-lane chunk fails to lower on real TPU; caught r4)
+LANE_CHUNK = 128
+_VMEM_BUDGET = int(
+    __import__("os").environ.get("CTDIRECT_TPU_PALLAS_VMEM", 12 * 1024 * 1024)
+)
 
 
 def _vmem_bytes(P, bs, wb, C):
@@ -58,25 +63,51 @@ def fits_vmem(P, bs, wb, C=LANE_CHUNK):
     return _vmem_bytes(P, bs, wb, C) <= _VMEM_BUDGET
 
 
+def _take(X, idx, axis):
+    """X[..., idx, ...] on a STATIC index via slice + squeeze — Mosaic lowers
+    pure slices/reshapes, while jnp integer indexing mixed with `...`/newaxis
+    can fall into the (unsupported >2-D) gather path."""
+    s = jax.lax.slice_in_dim(X, idx, idx + 1, axis=axis)
+    return jnp.squeeze(s, axis=axis)
+
+
 def _bmm(X, Y):
     """(P, i, j, C) @ (P, j, k, C) -> (P, i, k, C), unrolled over j."""
     j = X.shape[-2]
-    return sum(X[..., :, t, None, :] * Y[..., None, t, :, :] for t in range(j))
+    # X[..., :, t:t+1, :] (P,i,1,C) * Y[..., t:t+1, :, :] (P,1,k,C)
+    return sum(
+        jax.lax.slice_in_dim(X, t, t + 1, axis=X.ndim - 2)
+        * jax.lax.slice_in_dim(Y, t, t + 1, axis=Y.ndim - 3)
+        for t in range(j)
+    )
 
 
 def _bmm_tn(X, Y):
+    """X^T @ Y: (P, j, i, C), (P, j, k, C) -> (P, i, k, C)."""
     j = X.shape[-3]
-    return sum(X[..., t, :, None, :] * Y[..., t, None, :, :] for t in range(j))
+    return sum(
+        jnp.expand_dims(_take(X, t, X.ndim - 3), -2)  # (P, i, 1, C)
+        * jax.lax.slice_in_dim(Y, t, t + 1, axis=Y.ndim - 3)  # (P, 1, k, C)
+        for t in range(j)
+    )
 
 
 def _bmv(X, y):
+    """(P, i, j, C) @ (P, j, C) -> (P, i, C)."""
     j = X.shape[-2]
-    return sum(X[..., :, t, :] * y[..., None, t, :] for t in range(j))
+    return sum(
+        _take(X, t, X.ndim - 2) * jnp.expand_dims(_take(y, t, y.ndim - 2), -2)
+        for t in range(j)
+    )
 
 
 def _bmv_tn(X, y):
+    """X^T @ y: (P, j, i, C), (P, j, C) -> (P, i, C)."""
     j = X.shape[-3]
-    return sum(X[..., t, :, :] * y[..., t, None, :] for t in range(j))
+    return sum(
+        _take(X, t, X.ndim - 3) * jnp.expand_dims(_take(y, t, y.ndim - 2), -2)
+        for t in range(j)
+    )
 
 
 def _gj_inverse(A):
@@ -88,21 +119,33 @@ def _gj_inverse(A):
     M = jnp.concatenate([A, eye], axis=-2)  # (P, n, 2n, C)
     rsel = jax.lax.broadcasted_iota(jnp.int32, (P, n, 1), 1)
     for j in range(n):
-        colj = jnp.abs(M[:, :, j, :])  # (P, n, C)
+        colj = jnp.abs(_take(M, j, 2))  # (P, n, C)
         colj = jnp.where(rsel >= j, colj, -jnp.inf)
-        p = jnp.argmax(colj, axis=1)  # (P, C)
-        oh = (p[:, None, :] == rsel).astype(M.dtype)  # (P, n, C)
+        # pivot-row one-hot WITHOUT argmax or cumsum (neither lowers in
+        # Mosaic: argmax indices are int64 under x64, cumsum is unimplemented):
+        # max + first-occurrence via an unrolled exclusive prefix over the
+        # tiny row dim (n <= ~13, static)
+        mx = jnp.max(colj, axis=1, keepdims=True)  # (P, 1, C)
+        hit = (colj == mx).astype(M.dtype)  # (P, n, C), >=1 rows set
+        acc = jnp.zeros_like(hit[:, 0, :])
+        prev_rows = []
+        for rr in range(n):
+            prev_rows.append(acc)
+            acc = acc + hit[:, rr, :]
+        prev = jnp.stack(prev_rows, axis=1)  # exclusive prefix count
+        oh = hit * (prev < 0.5).astype(M.dtype)  # first max row only
         # pivot row (P, 2n, C): sum_r oh[r] * M[r, :]
-        rowp = jnp.sum(oh[:, :, None, :] * M, axis=1)
-        rowj = M[:, j, :, :]
-        M = M + oh[:, :, None, :] * (rowj[:, None, :, :] - rowp[:, None, :, :])
+        ohx = jnp.expand_dims(oh, 2)  # (P, n, 1, C)
+        rowp = jnp.sum(ohx * M, axis=1)  # (P, 2n, C)
+        rowj = _take(M, j, 1)  # (P, 2n, C)
+        M = M + ohx * jnp.expand_dims(rowj - rowp, 1)
         M = _set_row(M, j, rowp)
-        piv = M[:, j, j, :]
-        row = M[:, j, :, :] / piv[:, None, :]
-        colv = _zero_row(M[:, :, j, :], j)
-        M = M - colv[:, :, None, :] * row[:, None, :, :]
+        piv = _take(_take(M, j, 1), j, 1)  # (P, C)
+        row = _take(M, j, 1) / jnp.expand_dims(piv, 1)  # (P, 2n, C)
+        colv = _zero_row(_take(M, j, 2), j)  # (P, n, C)
+        M = M - jnp.expand_dims(colv, 2) * jnp.expand_dims(row, 1)
         M = _set_row(M, j, row)
-    return M[:, :, n:, :]
+    return jax.lax.slice_in_dim(M, n, 2 * n, axis=2)
 
 
 def _set_row(M, j, row):
@@ -121,10 +164,10 @@ def _zero_row(V, j):
 
 def _halves(X):
     """Split the leading (even-length) block axis into evens/odds without
-    strided slicing: (M, ...) -> (M//2, ...) x2 via reshape + static index."""
+    strided slicing: (M, ...) -> (M//2, ...) x2 via reshape + static slice."""
     M = X.shape[0]
     Y = X.reshape((M // 2, 2) + X.shape[1:])
-    return Y[:, 0], Y[:, 1]
+    return _take(Y, 0, 1), _take(Y, 1, 1)
 
 
 def _interleave(E, O):
@@ -134,13 +177,19 @@ def _interleave(E, O):
 
 
 def _shift_up(X):
-    """X[1:] padded with zeros at the end (drop first block)."""
+    """X[1:] padded with zeros at the end (drop first block). Single-block
+    inputs short-circuit to zeros: a 0-length slice is an invalid (zero-size)
+    vector type in Mosaic."""
+    if X.shape[0] == 1:
+        return jnp.zeros_like(X)
     z = jnp.zeros((1,) + X.shape[1:], X.dtype)
     return jnp.concatenate([X[1:], z], axis=0)
 
 
 def _shift_down(X):
     """zeros-prepended X[:-1] (drop last block)."""
+    if X.shape[0] == 1:
+        return jnp.zeros_like(X)
     z = jnp.zeros((1,) + X.shape[1:], X.dtype)
     return jnp.concatenate([z, X[:-1]], axis=0)
 
@@ -187,22 +236,30 @@ def _cr_kernel(P, bs, wb, A_ref, Bp_ref, E_ref, F_ref, r_ref, rb_ref, X_ref, xb_
         Air = _bmv(Ainv_o, ro)  # (m2, bs, C)
         # contract over (m2, bs): loop bs (tiny), reduce m2 with jnp.sum
         for s_ in range(bs):
-            F = F - jnp.sum(Eo[:, s_, :, None, :] * AiE[:, s_, None, :, :], axis=0)
-            rb = rb - jnp.sum(Eo[:, s_, :, :] * Air[:, s_, None, :], axis=0)
+            Eo_s = _take(Eo, s_, 1)  # (m2, wb, C)
+            AiE_s = _take(AiE, s_, 1)  # (m2, wb, C)
+            F = F - jnp.sum(
+                jnp.expand_dims(Eo_s, 2) * jnp.expand_dims(AiE_s, 1), axis=0
+            )
+            rb = rb - jnp.sum(Eo_s * jnp.expand_dims(_take(Air, s_, 1), 1), axis=0)
 
         levels.append((Ainv_o, Bl, Br, Eo, ro))
         A, Bp, E, r = A_new, B_new, E_new, r_new
         M = m2
 
     # root solve: [[A0, E0], [E0^T, F]] [x0; xb] = [r0; rb]
-    top = jnp.concatenate([A[0], E[0]], axis=-2)  # (bs, bs+wb, C)
-    bot = jnp.concatenate([jnp.swapaxes(E[0], -3, -2), F], axis=-2)
+    A0, E0, r0 = _take(A, 0, 0), _take(E, 0, 0), _take(r, 0, 0)
+    top = jnp.concatenate([A0, E0], axis=-2)  # (bs, bs+wb, C)
+    bot = jnp.concatenate([jnp.swapaxes(E0, -3, -2), F], axis=-2)
     root = jnp.concatenate([top, bot], axis=-3)[None]  # (1, bs+wb, bs+wb, C)
-    rootinv = _gj_inverse(root)[0]
-    rhs = jnp.concatenate([r[0], rb], axis=-2)  # (bs+wb, C)
-    sol = sum(rootinv[:, t, :] * rhs[None, t, :] for t in range(bs + wb))
-    X = sol[:bs][None]  # (1, bs, C)
-    xb = sol[bs:]  # (wb, C)
+    rootinv = _take(_gj_inverse(root), 0, 0)
+    rhs = jnp.concatenate([r0, rb], axis=-2)  # (bs+wb, C)
+    sol = sum(
+        _take(rootinv, t, 1) * jnp.expand_dims(_take(rhs, t, 0), 0)
+        for t in range(bs + wb)
+    )
+    X = jax.lax.slice_in_dim(sol, 0, bs, axis=0)[None]  # (1, bs, C)
+    xb = jax.lax.slice_in_dim(sol, bs, bs + wb, axis=0)  # (wb, C)
 
     for Ainv_o, Bl, Br, Eo, ro in reversed(levels):
         m = Ainv_o.shape[0]

@@ -35,7 +35,9 @@ class Cfg:
 # equal accuracy for these rtol-1e-2 oracles; hard problems override below)
 CONFIG = {
     "algal_bacterial": Cfg(grid=200),
-    "action": Cfg(grid=200, rtol=2e-2),
+    # action has no stored reference objective (misc.py): the oracle is
+    # successful-only, so no rtol override applies
+    "action": Cfg(grid=200),
     "bioreactor_Ndays": Cfg(grid=200),
     "electric_vehicle": Cfg(grid=200),
     "fuller": Cfg(grid=250),
