@@ -187,9 +187,15 @@ def cr_solve(A, B_, E, F, r, rb):
 
 def _use_pallas(dtype, P, bs, wb, B):
     """Dispatch policy for the whole-CR Pallas kernel (solver/pallas_cr.py):
-    CTDIRECT_TPU_PALLAS=1 forces it, =0 disables, unset/auto enables it on TPU
-    backends for f32 chains inside the VMEM envelope (the mixed-precision
-    solve path — exactly the headline-bench configuration)."""
+    CTDIRECT_TPU_PALLAS=1 forces it (still envelope-gated), =0 disables,
+    unset/auto enables it on TPU backends for f32 chains inside the VMEM
+    envelope — but ONLY in x64-disabled processes. Measured r4 on real v5e
+    (benchmarks/pallas_tpu_check.py): with jax_enable_x64 on, Mosaic's layout
+    assignment hard-crashes on a stray 64-bit type (`layout.h:205 Check
+    failed: bitwidth_ <= 32`) even for all-f32 kernel data, and the
+    production IPM/tick programs require process-wide x64 — so the kernel is
+    an x64-off experiment, not the headline path (docs/tpu.md 'Pallas
+    status')."""
     import os
 
     from ctdirect_tpu.solver.pallas_cr import LANE_CHUNK, fits_vmem
@@ -197,6 +203,8 @@ def _use_pallas(dtype, P, bs, wb, B):
     flag = os.environ.get("CTDIRECT_TPU_PALLAS", "auto").lower()
     if flag in ("0", "off", "false"):
         return False
+    if jax.config.jax_enable_x64:
+        return False  # Mosaic layout crash under x64 (see docstring)
     eligible = (
         dtype == jnp.float32
         and B % min(LANE_CHUNK, B) == 0

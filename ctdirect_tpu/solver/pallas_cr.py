@@ -293,11 +293,15 @@ def cr_solve_lanes_pallas(A, Bp, E, F, r, rb, *, interpret=False):
     grid = (B // C,)
 
     def lane_spec(*shape):
-        # block covers full block axes, one lane chunk; index map picks chunk g
+        # block covers full block axes, one lane chunk; index map picks chunk
+        # g. Zeros must be int32: under jax_enable_x64 Python-int zeros trace
+        # as i64 index constants, which crash Mosaic's layout assignment
+        # (bitwidth <= 32 check).
         ndim = len(shape)
+        zero = np.int32(0)
         return pl.BlockSpec(
             shape + (C,),
-            lambda g, _nd=ndim: (0,) * _nd + (g,),
+            lambda g, _nd=ndim, _z=zero: (_z,) * _nd + (g,),
             memory_space=pltpu.VMEM,
         )
 
@@ -318,6 +322,12 @@ def cr_solve_lanes_pallas(A, Bp, E, F, r, rb, *, interpret=False):
             jax.ShapeDtypeStruct((P, bs, B), A.dtype),
             jax.ShapeDtypeStruct((wb, B), A.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the whole-solve-in-VMEM design intentionally exceeds the 16 MB
+            # default scoped limit at C=128 (17.05 MB at the headline shape);
+            # v5e VMEM accommodates more
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(A, Bp, E, F, r, rb)
     return X, xb
