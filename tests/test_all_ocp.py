@@ -18,15 +18,19 @@ from ctdirect_tpu.solver.ipm import IPMOptions
 
 class Cfg:
     def __init__(self, grid=100, scheme="trapeze", rtol=1e-2, pre_grids=(),
-                 **opts):
+                 warm_mu=None, **opts):
         self.grid = grid
         self.scheme = scheme
         self.rtol = rtol
         # coarse-to-fine mesh-refinement stages before the final grid
         # (solver.grid_continuation); the degenerate fixtures stall cold on a
         # fine grid but truly converge through refinement — measured in
-        # benchmarks/swimmer_lab.py / truck_lab.py
+        # benchmarks/swimmer_lab.py / truck_lab.py and the r4 rescue lab
         self.pre_grids = list(pre_grids)
+        # cooler barrier for the warm stages (options.replace(mu_init=...)):
+        # re-heating mu to 0.1 on a near-optimal warm point discards most of
+        # its value. Measured to matter on space_shuttle (see CONFIG).
+        self.warm_mu = warm_mu
         self.opts = dict(tol=1e-6, max_iter=600)
         self.opts.update(opts)
 
@@ -34,21 +38,36 @@ class Cfg:
 # defaults: N=100 trapeze (the reference default N=250 midpoint is slower at
 # equal accuracy for these rtol-1e-2 oracles; hard problems override below)
 CONFIG = {
-    "algal_bacterial": Cfg(grid=200),
+    # cold N=200 soft-stalls near the optimum with rounding-luck-sensitive
+    # recovery (same math converged or stalled across different compiles);
+    # 3-stage refinement is deterministic-robust: 61/197/383 iterations to
+    # obj 5.45008 (ref 5.4522), reproduced twice (r4 rescue lab)
+    "algal_bacterial": Cfg(grid=200, pre_grids=[50, 100], max_iter=2000),
     # action has no stored reference objective (misc.py): the oracle is
-    # successful-only, so no rtol override applies
-    "action": Cfg(grid=200),
+    # successful-only, so no rtol override applies. Cold N=200 hits max_iter;
+    # refinement from N=50 converges in 288 warm iterations (r4 rescue lab)
+    "action": Cfg(grid=200, pre_grids=[50], max_iter=1200),
     "bioreactor_Ndays": Cfg(grid=200),
     "electric_vehicle": Cfg(grid=200),
     "fuller": Cfg(grid=250),
     "glider": Cfg(grid=150),
     "insurance": Cfg(grid=150),
-    "moonlander": Cfg(grid=250),
+    # cold N=250 converges to a WORSE local optimum (obj 1.179 vs ref 0.962);
+    # refinement from N=60 lands on the reference optimum (213+28 iters, r4)
+    "moonlander": Cfg(grid=250, pre_grids=[60]),
     "robbins": Cfg(grid=250),
-    "quadrotor": Cfg(grid=150),
-    "space_shuttle": Cfg(grid=150),
+    # cold N=150 soft-stalls (Search_Direction_Becomes_Too_Small);
+    # refinement from N=50 converges the fine stage in 210 iterations (r4)
+    "quadrotor": Cfg(grid=150, pre_grids=[50]),
+    # max-crossrange reentry: cold N=150 (and 2-stage refinement) hit
+    # max_iter; the measured recipe is 3-stage refinement with a cooler warm
+    # barrier: [30, 75, 150] + mu_init 1e-3 -> 318/13/386 iterations, obj
+    # 0.59586 vs ref 0.59655 (r4 rescue lab)
+    "space_shuttle": Cfg(grid=150, pre_grids=[30, 75], warm_mu=1e-3,
+                         max_iter=3000),
     "goddard_all": Cfg(grid=150),
-    "orbit_transfer": Cfg(grid=300, max_iter=2000),
+    # refinement [75, 150, 300] totals 1116 iterations vs 1932 cold (r4 lab)
+    "orbit_transfer": Cfg(grid=300, pre_grids=[75, 150], max_iter=2000),
     "cartpole": Cfg(grid=150),
     # truck_trailer (min-time jackknife park) is degenerate on fine grids: at
     # N>=100 every config stalls at viol ~1e-6..1e-5 wandering a flat valley
@@ -102,11 +121,13 @@ def test_solve_fixture(name):
     if cfg.pre_grids:
         from ctdirect_tpu.solver import grid_continuation
 
+        warm_opts = opts if cfg.warm_mu is None else opts.replace(mu_init=cfg.warm_mu)
         sols = grid_continuation(
             prob.ocp,
             cfg.pre_grids + [cfg.grid],
             scheme=cfg.scheme,
             options=opts,
+            warm_options=warm_opts,
             init=prob.init,
         )
         sol = sols[-1]
