@@ -406,21 +406,40 @@ class DOCP:
         sign = -1.0 if self.ocp.maximize else 1.0
         lam, zL, zU = sign * lam, sign * zL, sign * zU
 
-        V = self.unpack(jnp.asarray(z))
-        t = np.asarray(self.time_grid(V.v))
+        # ONE jitted + cached device call for the unpack/derived quantities:
+        # running these eagerly costs a per-op round trip on remote-TPU
+        # backends (~0.5 s per solve on axon, measured r4)
+        post = getattr(self, "_postprocess", None)
+        if post is None:
+
+            def _post(zz):
+                V = self.unpack(zz)
+                t = self.time_grid(V.v)
+                if self.cs > 1:
+                    u_out = V.U.reshape(self.Nu * self.cs, self.m)
+                else:
+                    u_out = self.scheme.node_controls(V.U)
+                return V.X, u_out, V.v, t
+
+            post = jax.jit(_post)
+            self._postprocess = post
+
+        X_d, u_d, v_d, t_d = post(jnp.asarray(z))
+        X = np.asarray(X_d)
+        u_out = np.asarray(u_d)
+        t = np.asarray(t_d)
         h = t[1:] - t[:-1]
-        X = np.asarray(V.X)
+        V = Variables(X=X, U=None, K=None, v=np.asarray(v_d))
         # control output grid (≙ DOCP_data.jl:560–605): with one control per
         # step the node grid carries the node controls; with sub-controls
         # (control_steps>1 direct shooting) or stagewise IRK stage controls,
         # EVERY stored control goes out on its own fine time grid so no
-        # information the user paid for is discarded.
+        # information the user paid for is discarded. control_times is a
+        # numpy computation on the host grid.
         if self.cs > 1:
             control_grid = np.asarray(self.scheme.control_times(t, h)).ravel()
-            u_out = np.asarray(V.U).reshape(self.Nu * self.cs, self.m)
         else:
             control_grid = t
-            u_out = np.asarray(self.scheme.node_controls(V.U))
         P = lam[self.defect_row_indices()]  # (N, n)
 
         path_duals = None
@@ -455,7 +474,11 @@ class DOCP:
             U=u_out,
             P=P,
             v=np.asarray(V.v),
-            objective=float(self.objective(jnp.asarray(z))),
+            # the IPM already evaluated the user objective in-graph
+            # (IPMResult.objective = nlp_objective(z)); re-deriving it here
+            # EAGERLY costs ~0.5 s per solve on a remote-TPU backend (every
+            # op a tunnel round-trip). Only the max-problem sign flip remains.
+            objective=float(-result.objective if self.ocp.maximize else result.objective),
             iterations=int(result.iterations),
             constraints_violation=float(result.constraints_violation),
             status=int(result.status),
