@@ -92,7 +92,7 @@ def main():
     # (b) per-tick host-synced times, whose p50-vs-(a) gap isolates the axon
     #     tunnel round-trip from device time.
     reps = int(os.environ.get("BENCH_REPS", "30"))
-    chunk = 5
+    chunk = 10  # matches the r1–r3 pipelined-10 methodology; p50/p90 across batches
     xs = [jnp.asarray(0.03 * rng.standard_normal((B, 2))) for _ in range(reps)]
     batch_ms = []
     for k0 in range(0, reps, chunk):
