@@ -167,7 +167,7 @@ class MPCController:
         opts = options or IPMOptions(tol=1e-8)
         solver = _get_solver(docp, opts)
         z0 = docp.initial_guess(init)
-        res = solver(z0, docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
+        res, _post = solver(z0, docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
         return warm_state_from_result(res)
 
 

@@ -51,7 +51,7 @@ def _get_solver(docp: DOCP, options: IPMOptions):
             raise ValueError(f"unknown kkt_mode {options.kkt_mode!r}")
 
         def run(z0, zl, zu, cl, cu):
-            return ipm_solve(
+            result = ipm_solve(
                 docp.nlp_objective,
                 docp.constraints,
                 spec,
@@ -63,6 +63,12 @@ def _get_solver(docp: DOCP, options: IPMOptions):
                 options=options,
                 kkt=kkt,
             )
+            # fuse the solution postprocess (X, u_out, v, t) into the same
+            # program: the front door then needs ONE dispatch + ONE batched
+            # device_get per solve (each extra eager op/transfer is a ~26 ms
+            # tunnel round trip on remote-TPU backends — measured r5, it was
+            # ~80% of the warm solve wall time)
+            return result, docp.postprocess(result.z)
 
         cache[key] = jax.jit(run)
     return cache[key]
@@ -79,10 +85,12 @@ def solve_docp(
         init = InitialGuess.from_solution(init)
     z0 = docp.initial_guess(init)
     solver = _get_solver(docp, options)
-    result = solver(z0, docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
-    result = jax.tree_util.tree_map(np.asarray, result)
+    result, post = jax.device_get(
+        solver(z0, docp._z_lb, docp._z_ub, docp._c_lb, docp._c_ub)
+    )
     sol = docp.build_solution(
-        result, message=STATUS_MESSAGES.get(int(result.status), "Unknown")
+        result, message=STATUS_MESSAGES.get(int(result.status), "Unknown"),
+        post=post,
     )
     if display:
         print(sol)

@@ -31,7 +31,7 @@ sharding builds on the same block data (parallel/cyclic_reduction.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +59,7 @@ class StructuredKKT:
     for the operator protocol)."""
 
     def __init__(self, docp: DOCP, algorithm: str = "scan", solve_dtype=None,
-                 refine: int = 0):
+                 refine: int = 0, equilibrate: Optional[bool] = None):
         """algorithm: "scan" (sequential block elimination, O(N) depth) or
         "cr" (block cyclic reduction, O(log N) depth — the latency-optimal
         choice on TPU and the basis of the time-axis-sharded solver).
@@ -84,6 +84,13 @@ class StructuredKKT:
         self.algorithm = algorithm
         self.solve_dtype = solve_dtype
         self.refine = int(refine)
+        # symmetric Ruiz row/col scaling of the assembled system before the
+        # block solve (K' = D K D, d_i = rownorm^{-1/2}, f64, once per
+        # assemble): compresses the IPM's Sigma ~ mu/gap^2 diagonal spread so
+        # the f32 factorization + f64 refinement see a well-scaled matrix —
+        # what lets the singular-arc fixtures (goddard family, jackson) run
+        # mixed-precision instead of full f64. Default: on iff reduced solve.
+        self.equilibrate = (solve_dtype is not None) if equilibrate is None else bool(equilibrate)
         self.docp = docp
         d = _Dims(
             N=docp.N,
@@ -288,6 +295,48 @@ class StructuredKKT:
 
         return dict(Hloc=Hloc, Jloc=Jloc, Hb=Hb, Jfp=Jfp, Jbc=Jbc)
 
+    def prepare_jac_only(self, z, sc):
+        """prepare() minus the Lagrangian Hessians (zeros instead): the
+        Jacobian-only data the LSQ multiplier init needs. Skips the vmapped
+        per-step jax.hessian pass entirely — prepare() at sf=0, lam=0 would
+        still trace and execute it (sf is a traced value, XLA cannot DCE)."""
+        d = self.d
+        Wm, Y, tail, v = self._split_z(z)
+        sc_steps, sc_fp, sc_bc = self._split_lam(sc)
+        si = jnp.asarray(self.snorm[:-1])
+        sip1 = jnp.asarray(self.snorm[1:])
+        D = d.bw + d.iw + d.q
+
+        def step_jac(si_, sip1_, w, y, sc_i):
+            def cons(a):
+                return self._cons_step(
+                    si_, sip1_, a[: d.bw], a[d.bw : d.bw + d.iw], a[d.bw + d.iw :]
+                )
+
+            return sc_i[:, None] * jax.jacfwd(cons)(jnp.concatenate([w, y, v]))
+
+        Jloc = jax.vmap(step_jac)(si, sip1, Wm, Y, sc_steps)
+        Db = d.n + d.bw + d.iw + d.q
+        if self._cons_fp is not None:
+            Jfp = sc_fp[:, None] * jax.jacfwd(
+                lambda a: self._cons_fp(a[: d.bw], a[d.bw : d.bw + d.iw], a[d.bw + d.iw :])
+            )(jnp.concatenate([Wm[-1], tail, v]))
+        else:
+            Jfp = jnp.zeros((0, d.bw + d.iw + d.q), z.dtype)
+        if self._cons_bc is not None:
+            Jbc = sc_bc[:, None] * jax.jacfwd(
+                lambda a: self._cons_bc(a[: d.n], a[d.n : d.n + d.iw], a[d.n + d.iw :])
+            )(jnp.concatenate([Wm[0][: d.n], tail, v]))
+        else:
+            Jbc = jnp.zeros((0, d.n + d.iw + d.q), z.dtype)
+        return dict(
+            Hloc=jnp.zeros((d.N, D, D), z.dtype),
+            Jloc=Jloc,
+            Hb=jnp.zeros((Db, Db), z.dtype),
+            Jfp=Jfp,
+            Jbc=Jbc,
+        )
+
     def diag_scale(self, data):
         return 1.0 + jnp.max(jnp.abs(jnp.diagonal(data["Hloc"], axis1=-2, axis2=-1)))
 
@@ -315,7 +364,7 @@ class StructuredKKT:
         dtype = z.dtype
         nz = self.docp.nz
         nc = self.docp.nc
-        data = self.prepare(z, jnp.zeros((nc,), dtype), jnp.asarray(0.0, dtype), sc)
+        data = self.prepare_jac_only(z, sc)
         blocks = self._assemble(
             data,
             jnp.ones((nz,), dtype),  # sigma_z = 1 -> unit Hessian block
@@ -342,6 +391,16 @@ class StructuredKKT:
             data, sigma_z, Drow, delta_w, delta_c, rz, rp
         )
         out_dtype = rz.dtype
+
+        if self.equilibrate:
+            # symmetric Ruiz scaling K' = D K D, d_i = rownorm^{-1/2}, done in
+            # f64 on the assembled blocks. The IPM diagonals (Sigma ~ mu/gap^2
+            # on active bounds) put ~16 decades into the spectrum; one pass
+            # compresses that to what an f32 factorization + f64 refinement
+            # handles (the singular-arc fixtures goddard/jackson needed full
+            # f64 before this). Solution unscaled at the end (x = D x').
+            d_step, d_b = _ruiz_scales(A, B, E, F)
+            A, B, E, F, r, rb = _apply_scales(A, B, E, F, r, rb, d_step, d_b)
 
         def run(rr, rrb):
             blocks = (A, B, E, F, rr, rrb)
@@ -378,6 +437,9 @@ class StructuredKKT:
 
             X0 = (jnp.zeros(r.shape, r.dtype), jnp.zeros(rb.shape, rb.dtype))
             X, xb = jax.lax.fori_loop(0, 1 + self.refine, body, X0)
+        if self.equilibrate:
+            X = X * d_step
+            xb = xb * d_b
         return self._unscatter(X, xb)
 
     def _assemble(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
@@ -516,6 +578,36 @@ class StructuredKKT:
 # ----------------------------------------------------------------------------
 # solve algorithms (module-level; operate on assembled block data)
 # ----------------------------------------------------------------------------
+
+
+def _ruiz_scales(A, B, E, F):
+    """Row-inf-norm scales for one symmetric Ruiz pass over the block
+    tridiagonal + arrowhead system. Returns (d_step (N, bs), d_b (wb,)) with
+    d = rownorm^{-1/2}; symmetry is preserved because row i and column i get
+    the same scale."""
+    rn = jnp.max(jnp.abs(A), axis=2)  # (N, bs)
+    if B.shape[0] > 0:
+        rn = rn.at[1:].max(jnp.max(jnp.abs(B), axis=1))  # B^T rows of block i+1
+        rn = rn.at[:-1].max(jnp.max(jnp.abs(B), axis=2))  # B rows of block i
+    rn = jnp.maximum(rn, jnp.max(jnp.abs(E), axis=2))
+    rb_n = jnp.maximum(
+        jnp.max(jnp.abs(E), axis=(0, 1)), jnp.max(jnp.abs(F), axis=1)
+    )
+    d_step = 1.0 / jnp.sqrt(jnp.maximum(rn, 1e-30))
+    d_b = 1.0 / jnp.sqrt(jnp.maximum(rb_n, 1e-30))
+    return d_step, d_b
+
+
+def _apply_scales(A, B, E, F, r, rb, d_step, d_b):
+    """K' = D K D, r' = D r for the block system (D = diag(d_step..., d_b))."""
+    A = A * d_step[:, :, None] * d_step[:, None, :]
+    if B.shape[0] > 0:
+        B = B * d_step[:-1, :, None] * d_step[1:, None, :]
+    E = E * d_step[:, :, None] * d_b[None, None, :]
+    F = F * d_b[:, None] * d_b[None, :]
+    r = r * d_step
+    rb = rb * d_b
+    return A, B, E, F, r, rb
 
 
 def _block_matvec(A, B, E, F, X, xb):

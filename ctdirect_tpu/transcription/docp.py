@@ -163,6 +163,18 @@ class DOCP:
         tf = ts.tf if not ts.free_tf else v[ts.tf_index]
         return t0 + jnp.asarray(self._snorm) * (tf - t0)
 
+    def time_grid_np(self, v) -> np.ndarray:
+        """Host (numpy) twin of time_grid — used on paths that must not touch
+        the device (initial_guess: every eager jnp op on a remote-TPU backend
+        is a ~26 ms tunnel round trip, measured r5)."""
+        if self._fixed_grid is not None:
+            return np.asarray(self._fixed_grid)
+        ts = self.ocp.time
+        v = np.asarray(v)
+        t0 = ts.t0 if not ts.free_t0 else float(v[ts.t0_index])
+        tf = ts.tf if not ts.free_tf else float(v[ts.tf_index])
+        return t0 + self._snorm * (tf - t0)
+
     # ------------------------------------------------------------------
     # pack / unpack (pure reshapes & slices — XLA-friendly, no gathers)
     # ------------------------------------------------------------------
@@ -313,7 +325,7 @@ class DOCP:
             init = InitialGuess()
         q = self.q
         v0 = init.eval_variable(q)
-        t = np.asarray(self.time_grid(jnp.asarray(v0)))
+        t = self.time_grid_np(v0)
         h = t[1:] - t[:-1]
         X0 = init.eval_state(t, self.n)  # (N+1, n)
         ut = self.scheme.control_times(t, h)  # (Nu, cs)
@@ -321,7 +333,29 @@ class DOCP:
         K0 = (
             np.full((self.N, self.s, self.n), 0.1) if self.s > 0 else None
         )
-        return np.asarray(self.pack(X0, U0, K0, v0))
+        return self._pack_np(X0, U0, K0, v0)
+
+    def _pack_np(self, X, U, K=None, v=None) -> np.ndarray:
+        """Host (numpy) twin of pack — initial_guess must stay off the device
+        (eager jnp ops are tunnel round trips on remote-TPU backends)."""
+        N, n, m, q, s, cs = self.N, self.n, self.m, self.q, self.s, self.cs
+        X = np.asarray(X, dtype=np.float64).reshape(N + 1, n)
+        U = np.asarray(U, dtype=np.float64).reshape(self.Nu, cs, m)
+        parts = [X[:-1]]
+        if self.scheme.u_at_nodes:
+            parts.append(U[:-1, 0, :])
+        else:
+            parts.append(U.reshape(N, cs * m))
+        if s > 0:
+            parts.append(np.asarray(K, dtype=np.float64).reshape(N, s * n))
+        steps = np.concatenate(parts, axis=1).reshape(N * self.bw)
+        tail = [X[-1]]
+        if self.scheme.u_at_nodes:
+            tail.append(U[-1, 0, :])
+        pieces = [steps] + tail
+        if q > 0:
+            pieces.append(np.asarray(v, dtype=np.float64).reshape(q))
+        return np.concatenate(pieces)
 
     # ------------------------------------------------------------------
     # constraint-row index maps (for solution building / structured solver)
@@ -391,14 +425,32 @@ class DOCP:
     # ------------------------------------------------------------------
     # solution building (≙ build_OCP_solution, DOCP_data.jl:514–633)
     # ------------------------------------------------------------------
-    def build_solution(self, result, message: str = "", infos: Optional[dict] = None) -> Solution:
+    def postprocess(self, z):
+        """In-graph solution postprocess (X, u_out, v, t) — callable under jit
+        so the front door can fuse it into the solver program (one dispatch +
+        one batched device_get per solve instead of per-array round trips)."""
+        V = self.unpack(z)
+        t = self.time_grid(V.v)
+        if self.cs > 1:
+            u_out = V.U.reshape(self.Nu * self.cs, self.m)
+        else:
+            u_out = self.scheme.node_controls(V.U)
+        return V.X, u_out, V.v, t
+
+    def build_solution(self, result, message: str = "", infos: Optional[dict] = None,
+                       post=None) -> Solution:
         """Map an IPM result to a continuous-time Solution.
 
         Sign conventions: the IPM minimizes nlp_objective and satisfies
         grad f + J^T lam - zL + zU = 0 (Ipopt's convention). For max problems all
         duals are flipped back to the original problem's sense. The costate
         p(t_i) is the multiplier of defect row i (common.jl:20–32); path duals
-        are divided by the local step h_i (DOCP_data.jl:594–602)."""
+        are divided by the local step h_i (DOCP_data.jl:594–602).
+
+        `post` optionally carries (X, u_out, v, t) already computed IN the
+        solver program (docp.postprocess fused into the jit) — the fast path
+        the front door uses; without it a cached jitted postprocess runs here
+        (still one device call, not per-op round trips)."""
         z = np.asarray(result.z)
         lam = np.asarray(result.lam)
         zL = np.asarray(result.zL)
@@ -406,25 +458,13 @@ class DOCP:
         sign = -1.0 if self.ocp.maximize else 1.0
         lam, zL, zU = sign * lam, sign * zL, sign * zU
 
-        # ONE jitted + cached device call for the unpack/derived quantities:
-        # running these eagerly costs a per-op round trip on remote-TPU
-        # backends (~0.5 s per solve on axon, measured r4)
-        post = getattr(self, "_postprocess", None)
         if post is None:
-
-            def _post(zz):
-                V = self.unpack(zz)
-                t = self.time_grid(V.v)
-                if self.cs > 1:
-                    u_out = V.U.reshape(self.Nu * self.cs, self.m)
-                else:
-                    u_out = self.scheme.node_controls(V.U)
-                return V.X, u_out, V.v, t
-
-            post = jax.jit(_post)
-            self._postprocess = post
-
-        X_d, u_d, v_d, t_d = post(jnp.asarray(z))
+            postfn = getattr(self, "_postprocess", None)
+            if postfn is None:
+                postfn = jax.jit(self.postprocess)
+                self._postprocess = postfn
+            post = jax.device_get(postfn(jnp.asarray(z)))
+        X_d, u_d, v_d, t_d = post
         X = np.asarray(X_d)
         u_out = np.asarray(u_d)
         t = np.asarray(t_d)

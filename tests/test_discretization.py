@@ -120,3 +120,26 @@ def test_options_strict_and_aliases():
         ct.Collocation(scheme="rk9")
     c2 = ct.Collocation(mode="permissive", future_opt=7)
     assert c2.opts["future_opt"] == 7
+
+
+def test_stagewise_vs_constant_control_equivalence():
+    """Stagewise GL2 (distinct control per stage) and constant-control GL2
+    must agree on the solved optimum within 1e-4 and on the state trajectory,
+    and their variable counts must satisfy the bookkeeping identity
+    nz_stagewise = nz_cc + N*m*(s-1) (≙ reference
+    test/ci/test_discretization_stagewise.jl:114–173)."""
+    p = get_problem("vanderpol")
+    N = 100
+    d_sw = ct.transcribe(p.ocp, grid_size=N, scheme="gauss_legendre_2")
+    d_cc = ct.transcribe(p.ocp, grid_size=N, scheme="gauss_legendre_2_constant_control")
+    # var-count bookkeeping: stagewise carries s controls per step vs 1
+    s_stages = d_sw.s
+    assert s_stages == 2
+    assert d_sw.nz == d_cc.nz + N * d_sw.m * (s_stages - 1)
+    # constraint counts are identical (same defect + stage rows)
+    assert d_sw.nc == d_cc.nc
+    s1 = solve_docp(d_sw, init=p.init, options=IPMOptions(tol=1e-8))
+    s2 = solve_docp(d_cc, init=p.init, options=IPMOptions(tol=1e-8))
+    assert s1.successful and s2.successful
+    np.testing.assert_allclose(s1.objective, s2.objective, atol=1e-4)
+    np.testing.assert_allclose(s1.state(s1.time_grid), s2.state(s2.time_grid), atol=1e-3)
