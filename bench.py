@@ -57,12 +57,15 @@ def main():
     # residual contracts by the f32 direction error every iteration.
     # BENCH_SOLVE_F32=0 forces the full-f64 solve path.
     sdt = None if os.environ.get("BENCH_SOLVE_F32") == "0" else jnp.float32
+    # BENCH_PIVOT=0: elide the lane-GJ pivot passes (quasi-definite warm
+    # blocks; resolve guards non-finite directions) — fewer HBM traversals
     ctrl = MPCController(
         docp,
         x0_boundary_rows=[0, 1],
         resolve_iters=ITERS,
         kkt_algorithm=algo,
         kkt_solve_dtype=sdt,
+        kkt_pivot=os.environ.get("BENCH_PIVOT", "1") != "0",
         resolve_loop=os.environ.get("BENCH_LOOP", "unroll"),
     )
 

@@ -136,15 +136,33 @@ def main():
     u0.block_until_ready()
     dt = (time.time() - t0) / args.ticks
     # replicated reduction so every process can read the scalar
-    kkt_max = float(
-        jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P()))(kkt)
-    )
+    global_max = jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P()))
+    kkt_max = float(global_max(kkt))
+
+    # ---- collective-cost isolation (VERDICT r4 item 8) ----
+    # The production tick has ZERO hot-path collectives (batch axis is
+    # embarrassingly parallel). To measure what a dp-axis collective WOULD
+    # cost at this process/chip count, time the same tick loop with one
+    # global (replicated-output) reduction over the batch axis per tick —
+    # an all-reduce across every chip/host. delta = pure collective+sync
+    # cost per tick; if scaling is sub-linear while this delta is small,
+    # the bottleneck is NOT the interconnect (e.g. host CPU
+    # oversubscription in the simulated runs).
+    t0 = time.time()
+    for x in xs:
+        states, u0, kkt, viol = ctrl(states, x)
+        kkt_global = global_max(kkt)
+    float(kkt_global)  # force the replicated scalar to the host each tick
+    u0.block_until_ready()
+    dt_coll = (time.time() - t0) / args.ticks
     out = dict(
         metric="multi-host warm MPC solves/s",
         n_hosts=args.num_hosts,
         n_chips=n_chips,
         batch=B,
         ms_per_tick=round(dt * 1e3, 2),
+        ms_per_tick_with_dp_allreduce=round(dt_coll * 1e3, 2),
+        dp_allreduce_cost_ms=round((dt_coll - dt) * 1e3, 2),
         solves_per_s=round(B / dt, 1),
         solves_per_s_per_chip=round(B / dt / n_chips, 1),
         kkt_max=kkt_max,

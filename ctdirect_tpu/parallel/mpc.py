@@ -69,6 +69,8 @@ class MPCController:
         shift: bool = True,
         kkt_algorithm: str = "scan",
         kkt_solve_dtype=None,
+        kkt_equilibrate: bool = False,
+        kkt_pivot: bool = True,
         resolve_loop: str = "unroll",
         mesh: Optional[Mesh] = None,
         batch_axis: str = "batch",
@@ -93,8 +95,14 @@ class MPCController:
                 docp, time_axis, mesh.shape[time_axis], solve_dtype=kkt_solve_dtype
             )
         else:
+            # equilibration default OFF on the tick: the warm RTI resolve is
+            # mildly conditioned by construction (measured kkt 2.8e-14 at f32
+            # without it) and the tick is HBM-bound — the extra scaling
+            # passes would cost bytes for nothing. Cold/ill-conditioned
+            # solves (interface.solve path) default it ON instead.
             kkt = StructuredKKT(
-                docp, algorithm=kkt_algorithm, solve_dtype=kkt_solve_dtype
+                docp, algorithm=kkt_algorithm, solve_dtype=kkt_solve_dtype,
+                equilibrate=kkt_equilibrate, pivot=kkt_pivot,
             )
         resolve = make_resolver(
             docp.nlp_objective,

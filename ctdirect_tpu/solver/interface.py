@@ -46,6 +46,7 @@ def _get_solver(docp: DOCP, options: IPMOptions):
                 algorithm=algo,
                 solve_dtype=sdt,
                 refine=options.kkt_refine if sdt is not None else 0,
+                equilibrate=options.kkt_equilibrate,
             )
         else:
             raise ValueError(f"unknown kkt_mode {options.kkt_mode!r}")

@@ -100,6 +100,12 @@ class IPMOptions:
     # worst fixture: goddard trapeze N=2500 stalls at refine=1 (500 iters) but
     # converges in 59 with refine=2 (robbins N=5000: 47 iters either way).
     kkt_refine: int = 2
+    # Ruiz equilibration of the assembled KKT blocks before the reduced-
+    # precision solve (StructuredKKT.equilibrate). None = solver default
+    # (on iff kkt_solve_dtype is reduced). Measured r5: turns goddard
+    # trapeze N=1000 from a 290-iteration f32 stall into a 59-iteration
+    # Solve_Succeeded.
+    kkt_equilibrate: Optional[bool] = None
     grad_scaling: bool = True  # Ipopt gradient-based f/c scaling at z0
     scaling_max_grad: float = 100.0
     lsq_lambda_init: bool = True  # least-squares equality multiplier init

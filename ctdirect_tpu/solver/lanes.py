@@ -56,23 +56,35 @@ def bmv_tn(X, y):
     return sum(X[..., t, :, :] * y[..., t, None, :] for t in range(j))
 
 
-def _gj_eliminate_lanes(M, n):
-    """Pivoted Gauss-Jordan on augmented (..., n, n + k, B), unrolled over the
-    n columns. Per-lane partial pivoting: the pivot row index is chosen
-    independently for every (..., B) lane via argmax + onehot selects — pure
-    elementwise work, no cross-lane data movement."""
+def _gj_eliminate_lanes(M, n, pivot=True):
+    """Gauss-Jordan on augmented (..., n, n + k, B), unrolled over the n
+    columns. pivot=True: per-lane partial pivoting — the pivot row index is
+    chosen independently for every (..., B) lane via argmax + onehot selects
+    (pure elementwise work, no cross-lane data movement). pivot=False skips
+    the argmax/swap passes (~2.5x fewer full-array traversals).
+
+    WARNING — pivot=False is an experiment that FAILED on the production
+    tick and must not be defaulted: quasi-definite blocks are factorizable
+    without pivoting in exact arithmetic (Vanderbei 1995), but the warm
+    resolve's H + Sigma + delta_w diagonal is ~1e-8 on unbounded
+    zero-curvature state columns (min-energy double integrator), and the
+    1e8 pivot amplification destroys the solve (measured r5: tick KKT
+    3.0e+02 pivotless vs 1.6e-15 pivoted, identical blocks). Kept only for
+    experiments on problems whose primal diagonal is uniformly bounded
+    away from zero."""
     rows = jnp.arange(n)
     rsel = rows[(None,) * (M.ndim - 3) + (slice(None), None)]  # (..., n, 1)-ish
     for j in range(n):
-        colj = jnp.abs(M[..., :, j, :])  # (..., n, B)
-        colj = jnp.where(rsel >= j, colj, -jnp.inf)
-        p = jnp.argmax(colj, axis=-2)  # (..., B)
-        oh = (p[..., None, :] == rsel).astype(M.dtype)  # (..., n, B)
-        rowp = jnp.einsum("...rB,...rcB->...cB", oh, M)  # pivot row (..., c, B)
-        rowj = M[..., j, :, :]
-        # swap rows j and p lane-wise: row p receives row j, row j receives row p
-        M = M + oh[..., :, None, :] * (rowj[..., None, :, :] - rowp[..., None, :, :])
-        M = M.at[..., j, :, :].set(rowp)
+        if pivot:
+            colj = jnp.abs(M[..., :, j, :])  # (..., n, B)
+            colj = jnp.where(rsel >= j, colj, -jnp.inf)
+            p = jnp.argmax(colj, axis=-2)  # (..., B)
+            oh = (p[..., None, :] == rsel).astype(M.dtype)  # (..., n, B)
+            rowp = jnp.einsum("...rB,...rcB->...cB", oh, M)  # pivot row (..., c, B)
+            rowj = M[..., j, :, :]
+            # swap rows j and p lane-wise: row p receives row j, row j receives row p
+            M = M + oh[..., :, None, :] * (rowj[..., None, :, :] - rowp[..., None, :, :])
+            M = M.at[..., j, :, :].set(rowp)
         piv = M[..., j, j, :]
         row = M[..., j, :, :] / piv[..., None, :]
         colv = M[..., :, j, :].at[..., j, :].set(0.0)
@@ -81,19 +93,19 @@ def _gj_eliminate_lanes(M, n):
     return M
 
 
-def gj_inverse_lanes(A):
-    """Pivoted Gauss-Jordan inverse, lane-minor. A: (..., n, n, B)."""
+def gj_inverse_lanes(A, pivot=True):
+    """Gauss-Jordan inverse, lane-minor. A: (..., n, n, B)."""
     n = A.shape[-2]
     eye = jnp.eye(n, dtype=A.dtype)[..., None]
     M = jnp.concatenate([A, jnp.broadcast_to(eye, A.shape)], axis=-2)
-    return _gj_eliminate_lanes(M, n)[..., :, n:, :]
+    return _gj_eliminate_lanes(M, n, pivot)[..., :, n:, :]
 
 
-def gj_solve_lanes(A, B_):
+def gj_solve_lanes(A, B_, pivot=True):
     """Solve A X = B lane-minor. A: (..., n, n, B), B: (..., n, k, B)."""
     n = A.shape[-2]
     M = jnp.concatenate([A, B_], axis=-2)
-    return _gj_eliminate_lanes(M, n)[..., :, n:, :]
+    return _gj_eliminate_lanes(M, n, pivot)[..., :, n:, :]
 
 
 # ----------------------------------------------------------------------------
@@ -101,7 +113,7 @@ def gj_solve_lanes(A, B_):
 # ----------------------------------------------------------------------------
 
 
-def cr_solve_lanes(A, Bp, E, F, r, rb):
+def cr_solve_lanes(A, Bp, E, F, r, rb, pivot=True):
     """Block cyclic reduction + border Schur, lane-minor layout (see module
     docstring for shapes). Same recurrences as structured_kkt._cr_solve.
     P = A.shape[0] must be a power of two (caller pads)."""
@@ -116,7 +128,7 @@ def cr_solve_lanes(A, Bp, E, F, r, rb):
         Bl = Bp[0::2]  # even_j -> odd_j
         Br = Bp[1::2]  # odd_j -> even_{j+1} (last slot zero)
         Eo, ro = E[1::2], r[1::2]
-        Ainv_o = gj_inverse_lanes(Ao)
+        Ainv_o = gj_inverse_lanes(Ao, pivot)
 
         CL = bmm(Bl, Ainv_o)  # (M/2, bs, bs, B)
         CR = bmm_tn(Br, Ainv_o)  # B_r^T A_o^{-1}
@@ -144,7 +156,9 @@ def cr_solve_lanes(A, Bp, E, F, r, rb):
     bot = jnp.concatenate([jnp.swapaxes(E[0], -3, -2), F], axis=-2)
     root = jnp.concatenate([top, bot], axis=-3)  # (bs+wb, bs+wb, B)
     rhs = jnp.concatenate([r[0], rb], axis=-2)[..., :, None, :]
-    sol = gj_solve_lanes(root, rhs)[..., :, 0, :]  # (bs+wb, B)
+    # the root gathers every elimination's fill-in; keep it pivoted even in
+    # pivot=False mode (one small block — negligible bytes)
+    sol = gj_solve_lanes(root, rhs, True)[..., :, 0, :]  # (bs+wb, B)
     X = sol[:bs][None]  # (1, bs, B)
     xb = sol[bs:]  # (wb, B)
 
@@ -169,20 +183,33 @@ def cr_solve_lanes(A, Bp, E, F, r, rb):
 # ----------------------------------------------------------------------------
 
 
-@jax.custom_batching.custom_vmap
-def cr_solve(A, B_, E, F, r, rb):
-    """Block-tridiagonal + arrowhead solve via cyclic reduction.
+def _make_cr_solve(pivot):
+    @jax.custom_batching.custom_vmap
+    def _cr(A, B_, E, F, r, rb):
+        from ctdirect_tpu.solver.structured_kkt import _cr_solve
 
-    Single instance: A (N, bs, bs), B_ (N-1, bs, bs), E (N, bs, wb),
-    F (wb, wb), r (N, bs), rb (wb) -> (X (N, bs), xb (wb)).
+        return _cr_solve(A, B_, E, F, r, rb)
 
-    Under `jax.vmap`, dispatches to the lane-minor engine (batch axis moved to
-    lanes) instead of the default batching rule — identical math, ~50x faster
-    on TPU for the tiny blocks collocation produces.
-    """
-    from ctdirect_tpu.solver.structured_kkt import _cr_solve
+    @_cr.def_vmap
+    def _cr_vmap(axis_size, in_batched, A, B_, E, F, r, rb):
+        return _cr_solve_vmap_impl(axis_size, in_batched, A, B_, E, F, r, rb, pivot)
 
-    return _cr_solve(A, B_, E, F, r, rb)
+    return _cr
+
+
+# Block-tridiagonal + arrowhead solve via cyclic reduction.
+#
+# Single instance: A (N, bs, bs), B_ (N-1, bs, bs), E (N, bs, wb),
+# F (wb, wb), r (N, bs), rb (wb) -> (X (N, bs), xb (wb)).
+#
+# Under `jax.vmap`, dispatches to the lane-minor engine (batch axis moved to
+# lanes) instead of the default batching rule — identical math, ~50x faster
+# on TPU for the tiny blocks collocation produces. `cr_solve_nopivot` is the
+# same engine with the Gauss-Jordan pivot passes elided (see
+# _gj_eliminate_lanes) — for the HBM-bound warm-resolve tick on
+# quasi-definite blocks.
+cr_solve = _make_cr_solve(True)
+cr_solve_nopivot = _make_cr_solve(False)
 
 
 def _use_pallas(dtype, P, bs, wb, B):
@@ -220,8 +247,7 @@ def _use_pallas(dtype, P, bs, wb, B):
     return eligible and backend not in ("cpu",)
 
 
-@cr_solve.def_vmap
-def _cr_solve_vmap(axis_size, in_batched, A, B_, E, F, r, rb):
+def _cr_solve_vmap_impl(axis_size, in_batched, A, B_, E, F, r, rb, pivot):
     # move any batched leading axis to the LAST (lane) position; broadcast
     # unbatched operands across it
     def prep(x, batched):
@@ -237,12 +263,12 @@ def _cr_solve_vmap(axis_size, in_batched, A, B_, E, F, r, rb):
     Ax, Bx, Ex, rx = _pad_pow2_lanes(args[0], args[1], args[2], args[4])
     P, bs = Ax.shape[0], Ax.shape[1]
     wb = Ex.shape[-2]
-    if _use_pallas(Ax.dtype, P, bs, wb, axis_size):
+    if pivot and _use_pallas(Ax.dtype, P, bs, wb, axis_size):
         from ctdirect_tpu.solver.pallas_cr import cr_solve_lanes_pallas
 
         X, xb = cr_solve_lanes_pallas(Ax, Bx, Ex, args[3], rx, args[5])
     else:
-        X, xb = cr_solve_lanes(Ax, Bx, Ex, args[3], rx, args[5])
+        X, xb = cr_solve_lanes(Ax, Bx, Ex, args[3], rx, args[5], pivot)
     X = jnp.moveaxis(X[:N], -1, 0)
     xb = jnp.moveaxis(xb, -1, 0)
     return (X, xb), (True, True)

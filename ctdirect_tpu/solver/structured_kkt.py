@@ -59,7 +59,8 @@ class StructuredKKT:
     for the operator protocol)."""
 
     def __init__(self, docp: DOCP, algorithm: str = "scan", solve_dtype=None,
-                 refine: int = 0, equilibrate: Optional[bool] = None):
+                 refine: int = 0, equilibrate: Optional[bool] = None,
+                 pivot: bool = True):
         """algorithm: "scan" (sequential block elimination, O(N) depth) or
         "cr" (block cyclic reduction, O(log N) depth — the latency-optimal
         choice on TPU and the basis of the time-axis-sharded solver).
@@ -91,6 +92,11 @@ class StructuredKKT:
         # what lets the singular-arc fixtures (goddard family, jackson) run
         # mixed-precision instead of full f64. Default: on iff reduced solve.
         self.equilibrate = (solve_dtype is not None) if equilibrate is None else bool(equilibrate)
+        # pivot=False elides the per-column pivot passes of the lane-minor
+        # Gauss-Jordan under vmap — an experiment that FAILED on the
+        # production tick (1e-8 regularization pivots on zero-curvature
+        # columns; see lanes._gj_eliminate_lanes WARNING). Keep True.
+        self.pivot = bool(pivot)
         self.docp = docp
         d = _Dims(
             N=docp.N,
@@ -412,9 +418,10 @@ class StructuredKKT:
                 # custom_vmap wrapper: un-batched -> _cr_solve; under vmap ->
                 # the lane-minor engine (solver/lanes.py), which keeps the
                 # batch axis in TPU lanes instead of the batch-major layout
-                from ctdirect_tpu.solver.lanes import cr_solve
+                from ctdirect_tpu.solver.lanes import cr_solve, cr_solve_nopivot
 
-                X, xb = cr_solve(*blocks)
+                cr = cr_solve if self.pivot else cr_solve_nopivot
+                X, xb = cr(*blocks)
             else:
                 X, xb = _scan_solve(*blocks)
             if self.solve_dtype is not None:

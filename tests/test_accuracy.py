@@ -37,8 +37,14 @@ def _solve_paths(name, grid, scheme, paths, **opt_kw):
 @pytest.mark.parametrize(
     "name,grid,scheme,paths",
     [
-        # BASELINE config 1: double integrator, trapeze N=100, fixed tf
-        ("double_integrator_minenergy", 100, "trapeze", ["dense", "structured", "cr"]),
+        # BASELINE config 1: double integrator, trapeze N=100, fixed tf.
+        # Fast tier cross-checks the two production paths; the dense-oracle
+        # leg (the N=100 dense KKT dominates CI time) runs in the slow tier.
+        ("double_integrator_minenergy", 100, "trapeze", ["structured", "cr"]),
+        pytest.param(
+            "double_integrator_minenergy", 100, "trapeze",
+            ["dense", "structured"], marks=pytest.mark.slow,
+        ),
         # BASELINE config 2: Goddard, free tf, path constraints, GL2. The
         # CONSTANT-CONTROL GL2 variant is used: goddard is control-affine with
         # a singular arc, so the stagewise variant's per-stage controls are
@@ -111,6 +117,7 @@ def test_control_match_1e4(name, grid, scheme, paths):
             assert du <= 1e-4, (name, mode, du)
 
 
+@pytest.mark.slow
 def test_double_integrator_analytic_controls():
     """Discrete trapeze optimum vs closed form u(t) = 6 - 12t: interior-node
     agreement tightens at the O(h^2) rate (measured constant ~24: 2.3e-3 at

@@ -139,6 +139,9 @@ def test_mixed_precision_resolve_matches_f64():
     B = 4
     x0 = jnp.asarray(0.03 * np.random.default_rng(0).standard_normal((B, 2)))
     outs = {}
+    warm = None  # ONE full-IPM cold start serves both precisions (the f32
+    # variant seeds from the same state; compiling a second full IPM program
+    # doubled this test's CI cost for no coverage)
     for sdt in (None, jnp.float32):
         ctrl = MPCController(
             docp,
@@ -147,7 +150,8 @@ def test_mixed_precision_resolve_matches_f64():
             kkt_algorithm="cr",
             kkt_solve_dtype=sdt,
         )
-        warm = ctrl.cold_start(options=IPMOptions(tol=1e-8, max_iter=60))
+        if warm is None:
+            warm = ctrl.cold_start(options=IPMOptions(tol=1e-8, max_iter=60))
         states = broadcast_state(warm, B)
         states, u0, kkt_err, viol = ctrl(states, x0)
         states, u0, kkt_err, viol = ctrl(states, x0)

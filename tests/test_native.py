@@ -33,7 +33,7 @@ def _blocks(name, scheme, gs, seed=7):
     "name,scheme,gs",
     [
         ("double_integrator_minenergy", "trapeze", 50),
-        ("goddard_all", "midpoint", 10),
+        pytest.param("goddard_all", "midpoint", 10, marks=pytest.mark.slow),
         ("beam", "gauss_legendre_2", 8),
     ],
 )

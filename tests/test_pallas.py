@@ -39,7 +39,14 @@ def _random_chain(P, bs, wb, B, seed=0):
     return tuple(jnp.asarray(x) for x in (A, Bp, E, F, r, rb))
 
 
-@pytest.mark.parametrize("P,bs,wb,B", [(8, 3, 2, 128), (16, 5, 5, 128), (32, 4, 3, 256)])
+@pytest.mark.parametrize("P,bs,wb,B", [
+    (8, 3, 2, 128),
+    # bigger shapes are the same kernel at ~2-3 min CPU interpret-mode cost
+    # each; the Pallas kernel is a demoted x64-off experiment (PALLAS_r04), so
+    # they live in the slow tier
+    pytest.param(16, 5, 5, 128, marks=pytest.mark.slow),
+    pytest.param(32, 4, 3, 256, marks=pytest.mark.slow),
+])
 def test_pallas_cr_matches_lanes(P, bs, wb, B):
     chain = _random_chain(P, bs, wb, B)
     X_ref, xb_ref = lanes.cr_solve_lanes(*chain)

@@ -37,7 +37,9 @@ def test_batch_solver_sharded():
     [
         ("double_integrator_minenergy", "trapeze", 100),
         ("goddard_all", "midpoint", 24),  # free tf + path + boundary border
-        ("beam", "gauss_legendre_2", 13),  # stagewise IRK, non-power-of-2 N
+        # stagewise IRK, non-power-of-2 N: same distributed recurrence over a
+        # bigger block — slow tier (CI cost is the dense+sharded compiles)
+        pytest.param("beam", "gauss_legendre_2", 13, marks=pytest.mark.slow),
     ],
 )
 def test_time_sharded_cr_matches_sequential(name, scheme, gs):

@@ -14,15 +14,19 @@ from ctdirect_tpu.solver.interface import solve_docp
 from ctdirect_tpu.solver.kkt import DenseKKT, gj_inverse, gj_solve
 from ctdirect_tpu.solver.structured_kkt import StructuredKKT
 
+# fast tier keeps one cell per structural feature (trapeze incl. free-tf/max/
+# border, explicit+implicit euler); the IRK/midpoint cells are identical logic
+# over bigger per-step blocks whose dense-oracle compile dominates CI time
+# (~90-175 s each on CPU), so they run in the slow tier
 CASES = [
     ("double_integrator_minenergy", "trapeze", 7),
     ("goddard", "trapeze", 6),  # free tf, maximize, boundary, v border
-    ("goddard_all", "midpoint", 5),  # nonlinear path rows + boundary
+    pytest.param("goddard_all", "midpoint", 5, marks=pytest.mark.slow),  # nonlinear path rows + boundary
     ("vanderpol", "euler", 5),
     ("vanderpol", "euler_implicit", 5),
-    ("beam", "gauss_legendre_2", 4),  # stagewise IRK
-    ("beam", "gauss_legendre_2_constant_control", 4),
-    ("fuller", "gauss_legendre_3", 3),
+    pytest.param("beam", "gauss_legendre_2", 4, marks=pytest.mark.slow),  # stagewise IRK
+    pytest.param("beam", "gauss_legendre_2_constant_control", 4, marks=pytest.mark.slow),
+    pytest.param("fuller", "gauss_legendre_3", 3, marks=pytest.mark.slow),
 ]
 
 
@@ -53,6 +57,7 @@ def test_direction_matches_dense(name, scheme, gs):
     np.testing.assert_allclose(np.asarray(dl_s), np.asarray(dl_d), atol=1e-9 * scale_l)
 
 
+@pytest.mark.slow
 def test_end_to_end_structured_equals_dense():
     p = get_problem("beam")
     d = transcribe(p.ocp, grid_size=40, scheme="trapeze")
