@@ -46,16 +46,21 @@ EASY_SET = [
 
 # Per-problem solver overrides (≙ the reference benchmark's per-problem
 # adnlp_backend/:manual overrides, test/ci/test_all_ocp.jl:83,123 and
-# benchmark.jl problem lists). Measured r4 on TPU v5e: the singular-arc
-# (goddard, goddard_all) and bang-bang (jackson) fixtures soft-stall a few
-# 1e-3 from their optima under the f32+refine block solve (rounding-luck on
-# the degenerate arc) but converge cleanly with full-f64 directions —
-# goddard N=1000: f64 66 iters vs f32 stall at 290; jackson N=500: f64 32
-# iters vs f32 landing 14% off.
+# benchmark.jl problem lists). r5: the full-f64 overrides for the
+# singular-arc family are RETIRED — Ruiz equilibration of the assembled KKT
+# (StructuredKKT.equilibrate, on by default for f32 solves) makes the
+# f32+refine directions contract on these problems too (measured: goddard
+# N=1000 f32 290-iteration stall -> 59-iteration Solve_Succeeded;
+# goddard_all N=1000 102 iters; goddard N=250 54 iters vs 120 under f64).
+# jackson (bang-bang) still stalls formally a hair above tol under f32+r2;
+# deeper refinement is its measured fix (see ab3 lab, docs/benchmarks.md).
+# jackson (bang-bang): the equilibrated-f32 configs all stall formally a hair
+# above tol (obj right to ~1e-3 but status 2 at every refine depth tried);
+# the measured green config is adaptive-mu WITHOUT equilibration (N=500: 60
+# iters Solve_Succeeded, 716 ms warm — ab2 lab). Still f32: the f64 override
+# is retired.
 PROBLEM_OVERRIDES = {
-    "goddard": dict(kkt_solve_dtype=None),
-    "goddard_all": dict(kkt_solve_dtype=None),
-    "jackson": dict(kkt_solve_dtype=None),
+    "jackson": dict(mu_strategy="adaptive", kkt_equilibrate=False),
 }
 
 
@@ -171,27 +176,50 @@ def run_isolated(problems, grids, args):
     me = os.path.abspath(__file__)
     for name in problems:
         for N in grids:
-            with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
-                cell_json = fh.name
-            cmd = [
+            cmd_base = [
                 sys.executable, me,
                 "--problems", name, "--grids", str(N),
                 "--scheme", args.scheme, "--tol", str(args.tol),
                 "--max-iter", str(args.max_iter), "--kkt", args.kkt,
-                "--solve-dtype", args.solve_dtype, "--json", cell_json,
+                "--solve-dtype", args.solve_dtype,
             ]
             if args.warm:
-                cmd.append("--warm")
+                cmd_base.append("--warm")
             if args.cpu:
-                cmd.append("--cpu")
+                cmd_base.append("--cpu")
             if not args.persist_cache:
-                cmd.append("--no-persist-cache")
+                cmd_base.append("--no-persist-cache")
+            # the axon remote-compile service kills the TPU worker
+            # NONDETERMINISTICALLY on fresh large-N compiles (~40% of
+            # N>=2500 cells, r4/r5); on retry the persistent compile cache
+            # serves the finished portion and the cell usually completes —
+            # so a crashed/errored cell gets args.retries re-attempts
+            # before being recorded as failed.
             t0 = time.time()
-            proc = subprocess.run(cmd, timeout=3600)
-            try:
-                with open(cell_json) as fh:
-                    rows.extend(json.load(fh))
-            except Exception:  # noqa: BLE001 — subprocess died before writing
+            for attempt in range(1 + max(args.retries, 0)):
+                with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as fh:
+                    cell_json = fh.name
+                proc = subprocess.run(cmd_base + ["--json", cell_json], timeout=3600)
+                cell_rows = None
+                try:
+                    with open(cell_json) as fh:
+                        cell_rows = json.load(fh)
+                finally:
+                    try:
+                        os.unlink(cell_json)
+                    except OSError:
+                        pass
+                crashed = cell_rows is None or any(
+                    "error" in r and "UNAVAILABLE" in str(r.get("error", ""))
+                    for r in (cell_rows or [])
+                )
+                if not crashed:
+                    break
+                print(f"RETRY {name} N={N} (attempt {attempt + 1} crashed)",
+                      flush=True)
+            if cell_rows is not None:
+                rows.extend(cell_rows)
+            else:
                 rows.append(dict(
                     problem=name, N=N, ok=False,
                     error=f"cell subprocess exited rc={proc.returncode}",
@@ -199,10 +227,6 @@ def run_isolated(problems, grids, args):
                 ))
                 print(f"ERR  {name:32s} N={N:<6d} subprocess rc={proc.returncode}",
                       flush=True)
-            try:
-                os.unlink(cell_json)
-            except OSError:
-                pass
     return rows
 
 
@@ -224,6 +248,10 @@ def main():
                          "refinement sweep (IPMOptions.kkt_solve_dtype)")
     ap.add_argument("--isolate", action="store_true",
                     help="run each cell in its own subprocess (crash isolation)")
+    ap.add_argument("--retries", type=int, default=1,
+                    help="re-attempts for a crashed isolated cell (compile "
+                         "cache makes retries cheap; axon worker crashes are "
+                         "nondeterministic)")
     ap.add_argument("--micro", action="store_true")
     ap.add_argument("--warm", action="store_true",
                     help="also time a second (compile-free) solve per cell")

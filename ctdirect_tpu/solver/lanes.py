@@ -186,9 +186,12 @@ def cr_solve_lanes(A, Bp, E, F, r, rb, pivot=True):
 def _make_cr_solve(pivot):
     @jax.custom_batching.custom_vmap
     def _cr(A, B_, E, F, r, rb):
-        from ctdirect_tpu.solver.structured_kkt import _cr_solve
+        # un-batched: chain-in-lanes CR (the suite-ladder hot path) — the
+        # level width rides the 128-wide lane dim instead of the major dim
+        # (see benchmarks/solve_breakdown.py for the measured comparison)
+        from ctdirect_tpu.solver.structured_kkt import _cr_solve_chain_lanes
 
-        return _cr_solve(A, B_, E, F, r, rb)
+        return _cr_solve_chain_lanes(A, B_, E, F, r, rb)
 
     @_cr.def_vmap
     def _cr_vmap(axis_size, in_batched, A, B_, E, F, r, rb):
@@ -291,3 +294,97 @@ def _pad_pow2_lanes(A, B_, E, r):
         [B_, jnp.zeros((P - B_.shape[0], bs, bs, B), dtype)], axis=0
     )
     return A, Bp, E, r
+
+
+# ----------------------------------------------------------------------------
+# single-instance cyclic reduction, LEVEL-in-lanes layout
+# ----------------------------------------------------------------------------
+
+
+def cr_solve_chain_lanes(A, Bp, E, F, r, rb):
+    """Single-instance block cyclic reduction + border Schur with the CHAIN
+    dimension in TPU lanes.
+
+    The plain single-instance CR (structured_kkt._cr_solve) carries its level
+    arrays batch-major, (M, bs, bs): every vmapped Gauss-Jordan op then tiles
+    the TINY trailing (bs, bs) dims onto (8, 128) vector tiles at ~95% waste —
+    the same pathology the batched lanes engine exists to avoid. Here the
+    level arrays are (bs, bs, M): the level width M (large at the top levels —
+    N/2 blocks) fills the lanes, and the cyclic-reduction neighbor couplings
+    become shifts along the lane axis (cheap on TPU). Shrinking-width form:
+    each level halves M (strided lane slices), so the per-level arrays stay
+    exact-width; program size is log2(P) unrolled level bodies like the
+    original pre-r4 CR, but each body is ~10 lane-wide ops instead of ~100
+    batch-major ones, so the compiled program is small.
+
+    Shapes: A (bs, bs, P), Bp (bs, bs, P) (Bp[..., i]: block i -> i+1, last
+    slot zero), E (bs, wb, P), F (wb, wb), r (bs, P), rb (wb). P must be a
+    power of two (caller pads; padding = identity A, zero B/E/r).
+    Returns X (P, bs), xb (wb)."""
+    bs = A.shape[0]
+    wb = E.shape[1]
+    P = A.shape[-1]
+    dtype = A.dtype
+
+    levels = []
+    M = P
+    while M > 1:
+        Ae, Ao = A[..., 0::2], A[..., 1::2]
+        Bl = Bp[..., 0::2]  # even_j -> odd_j
+        Br = Bp[..., 1::2]  # odd_j -> even_{j+1} (last slot zero)
+        Eo, ro = E[..., 1::2], r[..., 1::2]
+        Ainv_o = gj_inverse_lanes(Ao)
+
+        CL = bmm(Bl, Ainv_o)  # (bs, bs, M/2)
+        CR = bmm_tn(Br, Ainv_o)  # B_r^T A_o^{-1}
+
+        half = M // 2
+        A_new = Ae - bmm(CL, jnp.swapaxes(Bl, 0, 1))
+        contrib = bmm(CR, Br)  # lands on even_{j+1}
+        A_new = A_new.at[..., 1:].add(-contrib[..., : half - 1])
+        E_new = E[..., 0::2] - bmm(CL, Eo)
+        E_contrib = bmm(CR, Eo)
+        E_new = E_new.at[..., 1:].add(-E_contrib[..., : half - 1])
+        r_new = r[..., 0::2] - bmv(CL, ro)
+        r_contrib = bmv(CR, ro)
+        r_new = r_new.at[..., 1:].add(-r_contrib[..., : half - 1])
+        B_new = -bmm(CL, Br)
+        if half >= 1:
+            B_new = B_new.at[..., half - 1].set(jnp.zeros((bs, bs), dtype))
+
+        F = F - jnp.einsum("jiM,jkM->ik", Eo, bmm(Ainv_o, Eo))
+        rb = rb - jnp.einsum("jiM,jM->i", Eo, bmv(Ainv_o, ro))
+
+        levels.append((Ainv_o, Bl, Br, Eo, ro))
+        A, Bp, E, r = A_new, B_new, E_new, r_new
+        M = half
+
+    # root: [[A0, E0], [E0^T, F]] [x0; xb] = [r0; rb] — plain dense solve
+    A0 = A[..., 0]
+    E0 = E[..., 0]
+    r0 = r[..., 0]
+    top = jnp.concatenate([A0, E0], axis=1)
+    bot = jnp.concatenate([E0.T, F], axis=1)
+    root = jnp.concatenate([top, bot], axis=0)
+    from ctdirect_tpu.solver.kkt import gj_solve
+
+    sol = gj_solve(root, jnp.concatenate([r0, rb])[:, None])[:, 0]
+    xb = sol[bs:]
+    x = sol[:bs][:, None]  # (bs, 1) — active chain of width 1
+
+    for Ainv_o, Bl, Br, Eo, ro in reversed(levels):
+        m = Ainv_o.shape[-1]
+        x_e = x  # (bs, m)
+        x_e_next = jnp.concatenate(
+            [x_e[..., 1:], jnp.zeros((bs, 1), dtype)], axis=-1
+        )
+        rhs = (
+            ro
+            - bmv_tn(Bl, x_e)
+            - bmv(Br, x_e_next)
+            - jnp.einsum("iwM,w->iM", Eo, xb)
+        )
+        x_o = bmv(Ainv_o, rhs)
+        x = jnp.stack([x_e, x_o], axis=-1).reshape(bs, 2 * m)
+
+    return x.T, xb  # (P, bs), (wb,)

@@ -401,12 +401,20 @@ class StructuredKKT:
         if self.equilibrate:
             # symmetric Ruiz scaling K' = D K D, d_i = rownorm^{-1/2}, done in
             # f64 on the assembled blocks. The IPM diagonals (Sigma ~ mu/gap^2
-            # on active bounds) put ~16 decades into the spectrum; one pass
-            # compresses that to what an f32 factorization + f64 refinement
+            # on active bounds) put ~16 decades into the spectrum; this
+            # compresses it to what an f32 factorization + f64 refinement
             # handles (the singular-arc fixtures goddard/jackson needed full
-            # f64 before this). Solution unscaled at the end (x = D x').
+            # f64 before this). Ruiz is an iterative method — two passes
+            # bring every row inf-norm within a few percent of 1 (one pass
+            # leaves the cross-coupled rows unbalanced, which is what limits
+            # the f32 refinement contraction at N >= 2500).
+            # Solution unscaled at the end (x = D x').
             d_step, d_b = _ruiz_scales(A, B, E, F)
             A, B, E, F, r, rb = _apply_scales(A, B, E, F, r, rb, d_step, d_b)
+            d2_step, d2_b = _ruiz_scales(A, B, E, F)
+            A, B, E, F, r, rb = _apply_scales(A, B, E, F, r, rb, d2_step, d2_b)
+            d_step = d_step * d2_step
+            d_b = d_b * d2_b
 
         def run(rr, rrb):
             blocks = (A, B, E, F, rr, rrb)
@@ -681,6 +689,39 @@ def _scan_solve(A, B, E, F, r, rb):
     else:
         X = xN[None]
     return X, xb
+
+
+def _cr_solve_chain_lanes(A, B, E, F, r, rb):
+    """Single-instance CR with the CHAIN dim in TPU lanes (adapter around
+    lanes.cr_solve_chain_lanes: pads to a power of two and transposes the
+    block arrays to (bs, bs, P)). Same math as _cr_solve; the layout keeps
+    the level width in the 128-wide lane dim instead of the major dim, which
+    is worth ~an order of magnitude on TPU for the level-batched Gauss-Jordan
+    ops (see lanes.py module docstring)."""
+    from ctdirect_tpu.solver.lanes import cr_solve_chain_lanes
+
+    N, bs, _ = A.shape
+    wb = E.shape[-1]
+    dtype = A.dtype
+    P = 1
+    while P < N:
+        P *= 2
+    pad = P - N
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(bs, dtype=dtype), (pad, bs, bs))
+        A = jnp.concatenate([A, eye], axis=0)
+        E = jnp.concatenate([E, jnp.zeros((pad, bs, wb), dtype)], axis=0)
+        r = jnp.concatenate([r, jnp.zeros((pad, bs), dtype)], axis=0)
+    Bp = jnp.concatenate([B, jnp.zeros((P - B.shape[0], bs, bs), dtype)], axis=0)
+    X, xb = cr_solve_chain_lanes(
+        jnp.moveaxis(A, 0, -1),
+        jnp.moveaxis(Bp, 0, -1),
+        jnp.moveaxis(E, 0, -1),
+        F,
+        jnp.moveaxis(r, 0, -1),
+        rb,
+    )
+    return X[:N], xb
 
 
 def _cr_solve(A, B, E, F, r, rb):
