@@ -59,6 +59,9 @@ def main():
     sdt = None if os.environ.get("BENCH_SOLVE_F32") == "0" else jnp.float32
     # BENCH_PIVOT=0: elide the lane-GJ pivot passes (quasi-definite warm
     # blocks; resolve guards non-finite directions) — fewer HBM traversals
+    # BENCH_ASM_F32=1: prepare+assembly in f32 end-to-end (halved HBM bytes
+    # on the ~86%-HBM-bound tick; Newton residuals stay f64)
+    adt = jnp.float32 if os.environ.get("BENCH_ASM_F32") == "1" else None
     ctrl = MPCController(
         docp,
         x0_boundary_rows=[0, 1],
@@ -66,6 +69,7 @@ def main():
         kkt_algorithm=algo,
         kkt_solve_dtype=sdt,
         kkt_pivot=os.environ.get("BENCH_PIVOT", "1") != "0",
+        kkt_assemble_dtype=adt,
         resolve_loop=os.environ.get("BENCH_LOOP", "unroll"),
     )
 

@@ -71,6 +71,7 @@ class MPCController:
         kkt_solve_dtype=None,
         kkt_equilibrate: bool = False,
         kkt_pivot: bool = True,
+        kkt_assemble_dtype=None,
         resolve_loop: str = "unroll",
         mesh: Optional[Mesh] = None,
         batch_axis: str = "batch",
@@ -103,6 +104,7 @@ class MPCController:
             kkt = StructuredKKT(
                 docp, algorithm=kkt_algorithm, solve_dtype=kkt_solve_dtype,
                 equilibrate=kkt_equilibrate, pivot=kkt_pivot,
+                assemble_dtype=kkt_assemble_dtype,
             )
         resolve = make_resolver(
             docp.nlp_objective,

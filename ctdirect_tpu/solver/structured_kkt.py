@@ -60,7 +60,7 @@ class StructuredKKT:
 
     def __init__(self, docp: DOCP, algorithm: str = "scan", solve_dtype=None,
                  refine: int = 0, equilibrate: Optional[bool] = None,
-                 pivot: bool = True):
+                 pivot: bool = True, assemble_dtype=None):
         """algorithm: "scan" (sequential block elimination, O(N) depth) or
         "cr" (block cyclic reduction, O(log N) depth — the latency-optimal
         choice on TPU and the basis of the time-axis-sharded solver).
@@ -97,6 +97,14 @@ class StructuredKKT:
         # production tick (1e-8 regularization pivots on zero-curvature
         # columns; see lanes._gj_eliminate_lanes WARNING). Keep True.
         self.pivot = bool(pivot)
+        # assemble_dtype=jnp.float32: run prepare (the vmapped per-step
+        # Hessians/Jacobians) AND assembly in f32 end-to-end — for the warm
+        # RTI resolve tick, whose Newton residuals stay f64 while the
+        # direction is inexact anyway (solve_dtype=f32). Halves the HBM
+        # bytes of the tick's biggest producers (the tick is ~86% HBM-bound,
+        # BENCH_r04). Do NOT use for the full IPM: its curvature retry logic
+        # and restoration want f64 block data. None = inherit input dtype.
+        self.assemble_dtype = assemble_dtype
         self.docp = docp
         d = _Dims(
             N=docp.N,
@@ -241,11 +249,18 @@ class StructuredKKT:
     def prepare(self, z, lam, sf, sc):
         """Per-step scaled Lagrangian Hessians + constraint Jacobians."""
         d = self.d
+        if self.assemble_dtype is not None:
+            z = z.astype(self.assemble_dtype)
+            lam = lam.astype(self.assemble_dtype)
+            sf = jnp.asarray(sf, self.assemble_dtype)
+            sc = jnp.asarray(sc, self.assemble_dtype)
         Wm, Y, tail, v = self._split_z(z)
         lam_steps, lam_fp, lam_bc = self._split_lam(lam)
         sc_steps, sc_fp, sc_bc = self._split_lam(sc)
-        si = jnp.asarray(self.snorm[:-1])
-        sip1 = jnp.asarray(self.snorm[1:])
+        # match the working dtype (an f64 grid constant would silently
+        # promote the whole AD pass back to f64 under assemble_dtype=f32)
+        si = jnp.asarray(self.snorm[:-1], z.dtype)
+        sip1 = jnp.asarray(self.snorm[1:], z.dtype)
         sgn = self._obj_sign
 
         D = d.bw + d.iw + d.q
@@ -393,10 +408,18 @@ class StructuredKKT:
     # assembly + solve
     # ------------------------------------------------------------------
     def solve(self, data, sigma_z, Drow, delta_w, delta_c, rz, rp):
+        out_dtype = rz.dtype
+        if self.assemble_dtype is not None:
+            adt = self.assemble_dtype
+            sigma_z = sigma_z.astype(adt)
+            Drow = Drow.astype(adt)
+            delta_w = jnp.asarray(delta_w, adt)
+            delta_c = jnp.asarray(delta_c, adt)
+            rz = rz.astype(adt)
+            rp = rp.astype(adt)
         A, B, E, F, r, rb = self._assemble(
             data, sigma_z, Drow, delta_w, delta_c, rz, rp
         )
-        out_dtype = rz.dtype
 
         if self.equilibrate:
             # symmetric Ruiz scaling K' = D K D, d_i = rownorm^{-1/2}, done in
