@@ -78,12 +78,19 @@ CONFIG = {
     # under-resolved inter-node corner-cutting, rejected as an oracle.
     # Evidence: benchmarks/truck_lab.py + the refinement study in r3 notes.
     "truck_trailer": Cfg(grid=50, max_iter=2000),
-    # swimmer stalls cold at N=120 (max-iter at obj 0.948) but truly converges
-    # through mesh refinement: N=60 cold (634 it) -> warm N=120
-    # Solve_Succeeded in 24 it at obj 0.9947 >= ref 0.9843
-    # (benchmarks/swimmer_lab.py cells coarse60/warm120-from60)
-    "swimmer": Cfg(grid=120, pre_grids=[60], max_iter=1500),
-    "swimmer2": Cfg(grid=120, pre_grids=[60], max_iter=1500),
+    # swimmer: the r4 recipe (plain refinement from N=60) converged on
+    # COMPILE LUCK — its 600-900-iteration coarse stage flipped between
+    # success and stall across bit-identical-math program changes (measured
+    # r5: same data, zeros-vs-computed-zeros Hessian flipped it). The robust
+    # recipe starts the barrier cooler: mu_init 1e-2 cold, 1e-4 warm —
+    # both stages then converge DECISIVELY (126 + 145 iterations, r5
+    # swimmer_recipes lab) to obj 0.98193, within the uniform rtol-1e-2
+    # oracle of the reference objective 0.984273 — so swimmer/swimmer2 no
+    # longer need the BETTER_OK band at all.
+    "swimmer": Cfg(grid=120, pre_grids=[60], mu_init=1e-2, warm_mu=1e-4,
+                   max_iter=1500),
+    "swimmer2": Cfg(grid=120, pre_grids=[60], mu_init=1e-2, warm_mu=1e-4,
+                    max_iter=1500),
 }
 
 # `pattern` is a sparsity-visualization dummy in the reference (SURVEY.md §4);
@@ -94,9 +101,12 @@ SKIP = {"pattern"}
 # local optimum than the reference's Ipopt run, with FULL KKT success (no
 # feasibility-only escape): accept objectives at least as good as the stored
 # reference, within a tight 10% band so a formulation bug can't hide behind
-# "better". Measured: swimmer 0.9947 vs ref 0.9843 (+1.1%), truck_trailer
-# 55.948 vs ref 59.28 (-5.6%).
-BETTER_OK = {"truck_trailer", "swimmer", "swimmer2"}
+# "better". r5: swimmer/swimmer2 RETIRED from this set (the mu-cooled recipe
+# converges them to the reference optimum under the uniform rtol-1e-2
+# oracle); truck_trailer remains, with a two-scheme certificate test below
+# (trapeze 55.948 and midpoint 57.176 both formally converge better than
+# the stored 59.28).
+BETTER_OK = {"truck_trailer"}
 BETTER_BAND = 0.10
 
 ALL = [n for n in problem_names() if n not in SKIP]
