@@ -67,7 +67,8 @@ def trace_solve(name, N, opts_kw, scheme="trapeze", max_iter=500):
         for k in range(min(n, len(it)))
     ]
     summary = dict(
-        problem=name, N=N, scheme=scheme, iterations=n,
+        problem=name, N=N, scheme=scheme, backend=jax.default_backend(),
+        iterations=n,
         status=int(result.status), successful=bool(result.successful),
         objective=float(result.objective), ref=prob.obj,
         kkt_error=float(result.kkt_error), wall_s=round(wall, 2),
@@ -85,11 +86,11 @@ def run_traces(out_path):
     cells = [
         # the goddard family: VERDICT r4 weak-3/"do this"-4 — iteration
         # counts under the equilibrated-f32 production config, with full
-        # per-iteration traces as committed evidence
+        # per-iteration traces as committed evidence. (N=250 cells: the
+        # fixed-length-scan history program is too big a CPU compile at
+        # N=1000; authoritative per-N iteration counts live in SWEEP_r05)
         ("goddard", 250, {}),
-        ("goddard", 1000, {}),
         ("goddard_all", 250, {}),
-        ("goddard_all", 1000, {}),
         # jackson's measured green config (sweep.py PROBLEM_OVERRIDES)
         ("jackson", 500, dict(mu_strategy="adaptive", kkt_equilibrate=False)),
     ]
