@@ -103,8 +103,14 @@ def run_traces(out_path):
     log(f"wrote {out_path}")
 
 
+def solve_docp_lab(docp, guess, options):
+    from ctdirect_tpu.solver.interface import solve_docp
+
+    return solve_docp(docp, init=guess, options=options)
+
+
 def orbit_recipe(pre_grids, grid, mu_strategy, warm_mu, max_iter=2000,
-                 scheme="trapeze", tol=1e-6):
+                 scheme="trapeze", tol=1e-6, pre_tol=None):
     """Run one orbit_transfer continuation recipe; return per-stage iteration
     counts + the final-solution validity checks used by test_all_ocp.py."""
     import numpy as np
@@ -122,9 +128,27 @@ def orbit_recipe(pre_grids, grid, mu_strategy, warm_mu, max_iter=2000,
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        sols = grid_continuation(prob.ocp, list(pre_grids) + [grid],
-                                 scheme=scheme, options=opts,
-                                 warm_options=warm, init=prob.init)
+        if pre_tol is None:
+            sols = grid_continuation(prob.ocp, list(pre_grids) + [grid],
+                                     scheme=scheme, options=opts,
+                                     warm_options=warm, init=prob.init)
+        else:
+            # loose pre-stages: a warm start only needs ~pre_tol accuracy —
+            # over-converging the coarse grids to the final tol wastes most
+            # of the chain's iterations (stage totals in ORBIT_LAB_r05)
+            from ctdirect_tpu import transcribe
+            from ctdirect_tpu.model.init import InitialGuess
+
+            sols, guess = [], prob.init
+            grids_all = list(pre_grids) + [grid]
+            for k, n in enumerate(grids_all):
+                stage = opts if k == 0 else warm
+                if k < len(grids_all) - 1:
+                    stage = stage.replace(tol=pre_tol)
+                docp = transcribe(prob.ocp, grid_size=int(n), scheme=scheme)
+                sol = solve_docp_lab(docp, guess, stage)
+                sols.append(sol)
+                guess = InitialGuess.from_solution(sol)
     wall = time.time() - t0
     iters = [int(s.iterations) for s in sols]
     sol = sols[-1]
@@ -135,7 +159,8 @@ def orbit_recipe(pre_grids, grid, mu_strategy, warm_mu, max_iter=2000,
     trapz = getattr(np, "trapezoid", np.trapz)
     fuel = float(trapz(np.sqrt((u ** 2).sum(axis=1)), t))
     row = dict(pre_grids=list(pre_grids), grid=grid, mu_strategy=mu_strategy,
-               warm_mu=warm_mu, stage_iters=iters, total_iters=sum(iters),
+               warm_mu=warm_mu, pre_tol=pre_tol,
+               stage_iters=iters, total_iters=sum(iters),
                successful=bool(sol.successful), objective=float(sol.objective),
                fuel=round(fuel, 5),
                fuel_ok=bool(0.1816 <= fuel <= prob.obj + 1e-3 * 11.0 + 0.005),
@@ -164,11 +189,30 @@ def run_orbit(out_path):
     log(f"wrote {out_path}")
 
 
+def run_orbit2(out_path):
+    """Round 2: loose pre-stage tolerance — the coarse stages only exist to
+    warm-start, so converging them to the final 1e-6 wastes iterations
+    (stage-1 alone was 586 of the 1416 baseline total)."""
+    recipes = [
+        dict(pre_grids=[75, 150], grid=300, mu_strategy="monotone",
+             warm_mu=1e-3, pre_tol=1e-4),
+        dict(pre_grids=[75, 150], grid=300, mu_strategy="monotone",
+             warm_mu=1e-3, pre_tol=1e-3),
+        dict(pre_grids=[75], grid=300, mu_strategy="monotone",
+             warm_mu=1e-3, pre_tol=1e-4),
+    ]
+    rows = [orbit_recipe(**r) for r in recipes]
+    with open(out_path, "w") as fh:
+        json.dump(rows, fh, indent=1)
+    log(f"wrote {out_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--traces", action="store_true")
     ap.add_argument("--orbit", action="store_true")
+    ap.add_argument("--orbit2", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.cpu:
@@ -188,6 +232,8 @@ def main():
         run_traces(args.out or "TRACES_r05.json")
     if args.orbit:
         run_orbit(args.out or "ORBIT_LAB_r05.json")
+    if args.orbit2:
+        run_orbit2(args.out or "ORBIT_LAB2_r05.json")
 
 
 if __name__ == "__main__":
