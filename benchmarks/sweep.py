@@ -65,7 +65,7 @@ PROBLEM_OVERRIDES = {
 
 
 def run_sweep(problems, grids, scheme, tol, max_iter, kkt, warm=False,
-              solve_dtype="f32"):
+              solve_dtype="f32", refine=None):
     import jax
 
     from ctdirect_tpu import transcribe
@@ -79,6 +79,8 @@ def run_sweep(problems, grids, scheme, tol, max_iter, kkt, warm=False,
         kkt_mode=kkt,
         kkt_solve_dtype=None if solve_dtype in (None, "f64") else solve_dtype,
     )
+    if refine is not None:
+        base_opts = base_opts.replace(kkt_refine=refine)
     rows = []
     for name in problems:
         prob = get_problem(name)
@@ -183,6 +185,8 @@ def run_isolated(problems, grids, args):
                 "--max-iter", str(args.max_iter), "--kkt", args.kkt,
                 "--solve-dtype", args.solve_dtype,
             ]
+            if args.refine is not None:
+                cmd_base += ["--refine", str(args.refine)]
             if args.warm:
                 cmd_base.append("--warm")
             if args.cpu:
@@ -246,6 +250,11 @@ def main():
     ap.add_argument("--solve-dtype", default="f32", choices=["f32", "f64"],
                     help="f32: native-precision block solve + 1 f64 iterative-"
                          "refinement sweep (IPMOptions.kkt_solve_dtype)")
+    ap.add_argument("--refine", type=int, default=None,
+                    help="override IPMOptions.kkt_refine (f64 iterative-"
+                         "refinement sweeps on the f32 block solve); the "
+                         "measured rescue for cells that stall a hair above "
+                         "tol at very large N (goddard_all N=5000)")
     ap.add_argument("--isolate", action="store_true",
                     help="run each cell in its own subprocess (crash isolation)")
     ap.add_argument("--retries", type=int, default=1,
@@ -289,7 +298,8 @@ def main():
         rows = run_isolated(problems, grids, args)
     else:
         rows = run_sweep(problems, grids, args.scheme, args.tol, args.max_iter,
-                         args.kkt, warm=args.warm, solve_dtype=args.solve_dtype)
+                         args.kkt, warm=args.warm, solve_dtype=args.solve_dtype,
+                         refine=args.refine)
         total = sum(r["wall_s"] for r in rows)
         nok = sum(1 for r in rows if r.get("ok"))
         print(f"\ntotal {total:.1f}s wall ({time.time()-t0:.1f}s incl compile), "
