@@ -62,6 +62,11 @@ EASY_SET = [
 PROBLEM_OVERRIDES = {
     "jackson": dict(mu_strategy="adaptive", kkt_equilibrate=False),
 }
+# Per-CELL override (r5, SWEEP_r05.json): goddard_all N=5000 stalls a hair
+# above tol at refine=2 with the right objective (1.01257, 67 iters);
+# `--refine 3` converges it formally (77 iters, warm 9.8 s). Run that one
+# cell as:  python benchmarks/sweep.py --warm --refine 3 \
+#              --problems goddard_all --grids 5000
 
 
 def run_sweep(problems, grids, scheme, tol, max_iter, kkt, warm=False,
