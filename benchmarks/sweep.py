@@ -61,6 +61,10 @@ EASY_SET = [
 # is retired.
 PROBLEM_OVERRIDES = {
     "jackson": dict(mu_strategy="adaptive", kkt_equilibrate=False),
+    # goddard (singular arc): adaptive (LOQO) mu converges in a fraction of
+    # the monotone iterations on the fine grids (N=1000: 36 iters/0.45 s warm
+    # vs 115/1.53 monotone — r5 lab); equilibration stays on
+    "goddard": dict(mu_strategy="adaptive"),
 }
 # Per-CELL override (r5, SWEEP_r05.json): goddard_all N=5000 stalls a hair
 # above tol at refine=2 with the right objective (1.01257, 67 iters);
