@@ -52,7 +52,10 @@ def _solve_paths(name, grid, scheme, paths, **opt_kw):
         # KKT convergence stalls; the constant-control form converges to the
         # reference 1.01257 in ~115 iterations). N kept CI-sized for the dense
         # oracle; structured-vs-cr also runs at N=200.
-        ("goddard", 60, "gauss_legendre_2_constant_control", ["dense", "structured", "cr"]),
+        pytest.param(
+            "goddard", 60, "gauss_legendre_2_constant_control",
+            ["dense", "structured", "cr"], marks=pytest.mark.slow,
+        ),
         pytest.param(
             "goddard",
             200,

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from ctdirect_tpu.model.ocp import PreOCP
 from ctdirect_tpu.solver.continuation import continuation
@@ -20,6 +21,7 @@ def make_di_horizon(T):
     return pre.build()
 
 
+@pytest.mark.slow  # 5 sequential solve compiles (~50 s; fast-tier budget)
 def test_horizon_continuation_objective_curve():
     sols = continuation(
         make_di_horizon,

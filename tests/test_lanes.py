@@ -123,6 +123,7 @@ def test_mpc_resolve_uses_lane_path():
     np.testing.assert_allclose(outs["cr"], outs["scan"], rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow  # ~70 s of compiles on the 2-core CI box (fast-tier budget)
 def test_mixed_precision_resolve_matches_f64():
     """solve_dtype=f32 (mixed-precision block solve inside f64 Newton) must
     reach the same warm-resolve fixed point: the f32 direction error (~1e-7
